@@ -1,0 +1,240 @@
+"""Core graph data model: an edge DataFrame plus derived views.
+
+Reference data model (NetworKit): mutable adjacency-list ``Graph``
+(``cpp/graph/Graph.h:82``), ``node = uint64`` dense ids
+(``cpp/Globals.h:20-33``), ``edgeweight = double`` default 1.0
+(``cpp/Globals.h:29,34``), undirected edges stored in both endpoint
+lists, each visited once under the ``u >= v`` convention
+(``cpp/graph/Graph.h:217-227``).
+
+Spark model: an ``edges`` DataFrame ``(src: long, dst: long,
+weight: double)``.  Undirected graphs store each edge ONCE, canonicalized
+``src <= dst`` (self-loops allowed, stored once); a symmetrized view (both
+directions, self-loops still once — matching NetworKit adjacency where a
+self-loop appears once in ``outEdges[v]``) is derived for gather
+operations.  Vertices are the distinct endpoint set; removed-node id
+holes of the reference (``exists`` tombstones, ``cpp/graph/Graph.h:109``)
+are not reproduced — ids are densified at ingest and an id-map table
+preserves original keys (``GraphTools::getContinuousNodeIds``,
+``cpp/graph/GraphTools.h:18-49``).
+
+Weighted-degree semantics copied exactly from
+``cpp/graph/Graph.cpp:497-524``: the undirected weighted degree counts a
+self-loop's weight TWICE (the neighbor-sum sees it once, then
+``sum += weight(v, v)`` adds it again).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("weight", DoubleType(), False),
+    ]
+)
+
+
+def canonicalize(edges: DataFrame, weighted_dedup: str = "sum") -> DataFrame:
+    """Canonicalize an undirected edge list: ``src <= dst``, one row per edge.
+
+    Multi-edges collapse per ``weighted_dedup`` policy (``sum`` | ``min`` |
+    ``max`` | ``first`` — the KONECT reader's multi-edge policies,
+    ``cpp/io/KONECTGraphReader.cpp``).
+    """
+    e = edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    agg = {
+        "sum": F.sum("weight"),
+        "min": F.min("weight"),
+        "max": F.max("weight"),
+        "first": F.first("weight"),
+    }[weighted_dedup]
+    return e.groupBy("src", "dst").agg(agg.alias("weight"))
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions for ``src != dst``; self-loops kept once.
+
+    Mirrors NetworKit undirected adjacency: an edge appears in both
+    endpoints' lists, but ``addEdge(v, v)`` appends ``v`` only once to
+    ``outEdges[v]`` (``cpp/graph/Graph.cpp`` addEdge).
+    """
+    rev = edges.where(F.col("src") != F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return edges.unionByName(rev)
+
+
+def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Degree table ``(node, deg, wdeg)``.
+
+    Undirected: ``deg`` counts a self-loop once (``Graph::degree``), while
+    ``wdeg`` counts its weight twice (``cpp/graph/Graph.cpp:497-524``).
+    Directed: out-degrees (what PageRank divides by,
+    ``cpp/centrality/PageRank.cpp:30-33``).
+    """
+    if directed:
+        return edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg"), F.sum("weight").alias("wdeg")
+        )
+    sym = symmetrize(edges)
+    loop_extra = F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(F.lit(0.0))
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"),
+        (F.sum("weight") + F.sum(loop_extra)).alias("wdeg"),
+    )
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    """Distinct endpoint set ``(id: long)``."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def densify_ids(edges: DataFrame, key_cols: tuple[str, str] = ("src", "dst")) -> tuple[DataFrame, DataFrame]:
+    """Map arbitrary (sparse / string) node keys to dense 0-based int64 ids.
+
+    The Spark analog of ``GraphTools::getContinuousNodeIds`` +
+    ``getCompactedGraph`` (``cpp/graph/GraphTools.h:18-49``) and of
+    ``EdgeListReader``'s string→node map path
+    (``cpp/io/EdgeListReader.h:69-72``).  Returns ``(edges, id_map)``
+    where ``id_map`` is ``(id: long, key)``.  Ordering is deterministic:
+    ids assigned in ascending key order via a ranked window — at cluster
+    scale swap for ``zipWithIndex``-style per-partition offsets; rank is
+    fine through the tested SFs and keeps the map reproducible.
+    """
+    from pyspark.sql.window import Window
+
+    s, d = key_cols
+    keys = (
+        edges.select(F.col(s).alias("key"))
+        .unionByName(edges.select(F.col(d).alias("key")))
+        .distinct()
+    )
+    id_map = keys.select(
+        (F.row_number().over(Window.orderBy("key")) - 1).cast("long").alias("id"),
+        "key",
+    )
+    out = (
+        edges.join(id_map.withColumnRenamed("key", s), on=s)
+        .withColumnRenamed("id", "src_id")
+        .join(id_map.withColumnRenamed("key", d), on=d)
+        .withColumnRenamed("id", "dst_id")
+        .select(
+            F.col("src_id").alias("src"),
+            F.col("dst_id").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+    )
+    return out, id_map
+
+
+@dataclass
+class EdgeGraph:
+    """A graph as an edge DataFrame (+ lazily derived views).
+
+    ``edges``: ``(src, dst, weight)``; undirected ⇒ canonical ``src<=dst``
+    one row per edge.  This is the engine's single source of truth — the
+    analog of NetworKit's ``Graph`` object minus mutability (mutations are
+    DataFrame combinators, §2.3 of SURVEY.md).
+    """
+
+    edges: DataFrame
+    directed: bool = False
+    weighted: bool = True
+    _cache: dict = field(default_factory=dict, repr=False)
+
+    @classmethod
+    def from_edges(
+        cls,
+        edges: DataFrame,
+        directed: bool = False,
+        weighted: bool = True,
+        canonical: bool = False,
+    ) -> "EdgeGraph":
+        e = edges
+        if "weight" not in e.columns:
+            e = e.withColumn("weight", F.lit(1.0))
+        e = e.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"), F.col("weight").cast("double")
+        )
+        if not directed and not canonical:
+            e = canonicalize(e)
+        return cls(edges=e, directed=directed, weighted=weighted)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.edges.sparkSession
+
+    def sym(self) -> DataFrame:
+        """Gather view: all (sender → receiver) rows."""
+        return self.edges if self.directed else symmetrize(self.edges)
+
+    def vertices(self) -> DataFrame:
+        if "vertices" not in self._cache:
+            self._cache["vertices"] = vertices_of(self.edges)
+        return self._cache["vertices"]
+
+    def degrees(self) -> DataFrame:
+        if "degrees" not in self._cache:
+            self._cache["degrees"] = degrees(self.edges, self.directed)
+        return self._cache["degrees"]
+
+    def num_nodes(self) -> int:
+        if "n" not in self._cache:
+            self._cache["n"] = self.vertices().count()
+        return self._cache["n"]
+
+    def num_edges(self) -> int:
+        if "m" not in self._cache:
+            self._cache["m"] = self.edges.count()
+        return self._cache["m"]
+
+    # ---- structural combinators (SURVEY.md §2.3) ----
+    def remove_self_loops(self) -> "EdgeGraph":
+        return EdgeGraph(self.edges.where(F.col("src") != F.col("dst")), self.directed, self.weighted)
+
+    def to_unweighted(self) -> "EdgeGraph":
+        return EdgeGraph(self.edges.withColumn("weight", F.lit(1.0)), self.directed, False)
+
+    def to_undirected(self) -> "EdgeGraph":
+        """``Graph::toUndirected`` (pyx:1003) — collapse direction."""
+        return EdgeGraph(canonicalize(self.edges), False, self.weighted)
+
+    def transpose(self) -> "EdgeGraph":
+        """``Graph::transpose`` (pyx:1023) — swap(src, dst); directed only."""
+        e = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        return EdgeGraph(e, self.directed, self.weighted)
+
+    def subgraph_from_nodes(self, nodes: DataFrame) -> "EdgeGraph":
+        """``subgraphFromNodes`` (pyx:1276-1288) — induced subgraph via semi-joins."""
+        n = nodes.select(F.col(nodes.columns[0]).alias("id"))
+        e = (
+            self.edges.join(F.broadcast(n).withColumnRenamed("id", "src"), "src", "leftsemi")
+            .join(F.broadcast(n).withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        )
+        return EdgeGraph(e, self.directed, self.weighted)
+
+    def density(self) -> float:
+        """``Graph::density`` — m / (n*(n-1)) directed, 2m/(n*(n-1)) undirected."""
+        n, m = self.num_nodes(), self.num_edges()
+        if n <= 1:
+            return 0.0
+        return (m if self.directed else 2 * m) / (n * (n - 1))
+
+    def total_edge_weight(self) -> float:
+        return self.edges.agg(F.sum("weight")).collect()[0][0] or 0.0
