@@ -1,0 +1,125 @@
+"""PLP — label propagation community detection (synchronous sweeps).
+
+Reference semantics (``cpp/community/PLP.cpp:28-121``; signature with
+``theta = n/1e5`` update threshold ``:44-46``):
+
+- Init: each node its own label (or a supplied base clustering) ``:34-38``.
+- Sweep: each non-isolated node adopts the label with the largest
+  incident weight sum ``labelWeights[l] = Σ_{w∈N(v), label(w)=l} w(v,w)``
+  (``:83-89``); ties resolve to the SMALLEST label id (``std::map``
+  iterates ascending and ``max_element`` keeps the first of equals,
+  ``:92-95``).  Isolated nodes stay singletons (``:54-58``).
+- Stop when ``nUpdated ≤ updateThreshold`` or ``maxIterations`` reached
+  (``:72``); per-iteration timing recorded (``:113-115``).
+
+The reference sweeps ASYNCHRONOUSLY across OpenMP threads, so its output
+is non-deterministic run-to-run.  This engine defines SYNCHRONOUS sweeps
+(all updates read the previous iteration's labels) with the identical
+heaviest-label/smallest-id rule — deterministic, testable, and invariant
+to the partition count (SURVEY.md §2.5.3).  Tests assert the reference's
+invariants (partition exactly covers the node set) plus exact equality
+with a NumPy oracle implementing the same synchronous rule.
+
+The reference's active-set bookkeeping (``:97-105``) is a compute
+optimization: a node whose neighborhood labels didn't change re-derives
+the same label, so recomputing all nodes per sweep is semantically
+identical; nUpdated still drives termination.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.linkgraph.superstep import (
+    OP_LABEL_WSUM,
+    Checkpointer,
+    PreparedGraph,
+    prepare,
+)
+
+
+def _heaviest(label_weights: DataFrame) -> DataFrame:
+    """argmax_label Σw with smallest-label tie-break: max_by over the
+    struct (wsum, -label) — lexicographic max ⇒ heaviest weight, then
+    smallest id."""
+    return label_weights.groupBy("node").agg(
+        F.expr("max_by(label, struct(wsum, -label))").alias("heavy")
+    )
+
+
+def plp(
+    graph: EdgeGraph,
+    theta: float | None = None,
+    max_iter: int | None = None,
+    base_clustering: DataFrame | None = None,
+    impl: str = "csr",
+    checkpointer: Checkpointer | None = None,
+    prepared: PreparedGraph | None = None,
+    num_parts: int | None = None,
+    hub_cap: int = 1 << 20,
+) -> DataFrame:
+    """Return ``(node: long, label: long)`` — community assignment."""
+    spark = graph.spark
+    ckpt = checkpointer or Checkpointer()
+    n = graph.num_nodes()
+    if theta is None:
+        theta = n / 1e5
+    sym = graph.sym() if not graph.directed else graph.to_undirected().sym()
+
+    own_prepared = False
+    if impl == "csr" and prepared is None:
+        prepared = prepare(sym, num_parts=num_parts, hub_cap=hub_cap)
+        own_prepared = True
+    elif impl == "sql":
+        sym = sym.persist()
+
+    resumed = ckpt.resume(spark)
+    if resumed is not None:
+        it, labels = resumed
+        labels = labels.select("node", "label")
+    else:
+        it = 0
+        if base_clustering is not None:
+            labels = base_clustering.select("node", "label")
+        else:
+            labels = graph.vertices().select(
+                F.col("id").alias("node"), F.col("id").alias("label")
+            )
+        labels = ckpt.step(labels, 0)
+
+    while True:
+        t0 = time.time()
+        it += 1
+        msgs = labels.select("node", F.col("label").cast("double").alias("value"))
+        if impl == "csr":
+            lw = prepared.gather(msgs, OP_LABEL_WSUM)
+        else:
+            lw = (
+                sym.join(msgs.withColumnRenamed("node", "src"), "src")
+                .groupBy(
+                    F.col("dst").alias("node"), F.col("value").cast("long").alias("label")
+                )
+                .agg(F.sum("weight").alias("wsum"))
+            )
+        heavy = _heaviest(lw)
+        new_labels = labels.join(heavy, "node", "left").select(
+            "node",
+            F.coalesce("heavy", "label").alias("label"),  # isolated keep own
+            (F.coalesce("heavy", "label") != F.col("label")).alias("chg"),
+        )
+        new_labels = ckpt.step(new_labels, it, wall_ms=(time.time() - t0) * 1e3)
+        updated = new_labels.where("chg").count()
+        ckpt.history[-1]["delta"] = updated
+        labels = new_labels.select("node", "label")
+        if updated <= theta or (max_iter is not None and it >= max_iter):
+            labels = ckpt.step(labels, it, delta=updated, force_durable=True)
+            break
+
+    if own_prepared:
+        prepared.unpersist()
+    if impl == "sql":
+        sym.unpersist()
+    return labels

@@ -1,0 +1,63 @@
+"""PLP tests (FIXTURES.md F4): invariants + synchronous-oracle equality."""
+
+import numpy as np
+import pytest
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.operators.plp import plp
+
+from .conftest import edges_df
+from .oracles import plp_oracle
+
+from .test_pagerank import F1_EDGES
+
+# two dense blocks joined by one weak edge → 2 communities
+CLUSTERED = [
+    (0, 1, 5.0), (0, 2, 5.0), (0, 3, 5.0), (1, 2, 5.0), (1, 3, 5.0), (2, 3, 5.0),
+    (4, 5, 5.0), (4, 6, 5.0), (4, 7, 5.0), (5, 6, 5.0), (5, 7, 5.0), (6, 7, 5.0),
+    (3, 4, 0.1),
+]
+
+
+def _labels(df, n):
+    rows = {r["node"]: r["label"] for r in df.collect()}
+    return np.array([rows[i] for i in range(n)])
+
+
+@pytest.mark.parametrize("impl", ["sql", "csr"])
+def test_oracle_exact(spark, impl):
+    g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
+    got = _labels(plp(g, max_iter=10, impl=impl), 8)
+    want = plp_oracle(8, CLUSTERED, max_iter=10)
+    assert np.array_equal(got, want)
+
+
+def test_two_communities(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
+    got = _labels(plp(g, max_iter=10, impl="sql"), 8)
+    assert len(set(got[:4])) == 1 and len(set(got[4:])) == 1
+    assert got[0] != got[4]
+
+
+def test_partition_covers_nodes(spark):
+    """Every node labeled exactly once (test_algorithms.py:156-175)."""
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    out = plp(g, max_iter=5, impl="sql")
+    assert out.count() == 8
+    assert out.select("node").distinct().count() == 8
+
+
+def test_isolated_stays_singleton(spark):
+    """PLP.cpp:54-58,81 — isolated nodes keep their own label."""
+    edges = CLUSTERED + [(9, 9, 1.0)]  # 9 only self-loops: neighbor = self
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    got = {r["node"]: r["label"] for r in plp(g, max_iter=10, impl="sql").collect()}
+    assert got[9] == 9
+
+
+@pytest.mark.parametrize("impl", ["csr"])
+def test_f7_partition_equivalence(spark, impl):
+    g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
+    a = _labels(plp(g, max_iter=6, impl=impl, num_parts=2), 8)
+    b = _labels(plp(g, max_iter=6, impl=impl, num_parts=8), 8)
+    assert np.array_equal(a, b)
