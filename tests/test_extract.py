@@ -1,0 +1,76 @@
+"""Ingest tests: synthetic source table determinism, sha256 invariant,
+edge extraction structure, tpch link graph."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from networkit_spark.linkgraph.extract import extract_link_graph, tpch_link_graph
+from networkit_spark.linkgraph.tables import content_hashes, source_files
+
+
+def test_source_table_deterministic(spark):
+    a = source_files(spark, num_repos=10, max_files=30).orderBy("repo", "path", "commit")
+    b = (
+        source_files(spark, num_repos=10, max_files=30)
+        .repartition(7)
+        .orderBy("repo", "path", "commit")
+    )
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_content_sha256_invariant(spark):
+    """Per-row invariant (input_hint): sha256(content) recomputed in
+    plain Python equals the engine's extraction."""
+    t = source_files(spark, num_repos=5, max_files=20)
+    joined = t.join(content_hashes(t), ["repo", "path", "commit"]).limit(50).collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert hashlib.sha256(r["content"].encode()).hexdigest() == r["content_sha256"]
+
+
+def test_power_law_hub_skew(spark):
+    """repo0 is the hub: strictly more files than the median repo."""
+    t = source_files(spark, num_repos=20, max_files=200)
+    sizes = (
+        t.select("repo", "path").distinct().groupBy("repo").count().orderBy("repo").collect()
+    )
+    assert sizes[0]["count"] > 3 * sizes[10]["count"]
+
+
+def test_extract_structure(spark):
+    t = source_files(spark, num_repos=8, max_files=24)
+    g, vertices = extract_link_graph(t)
+    kinds = {r["kind"] for r in vertices.select("kind").distinct().collect()}
+    assert kinds == {"r", "p", "c"}
+    # canonical edges: src < dst, no duplicates
+    e = g.edges
+    assert e.where(F.col("src") >= F.col("dst")).count() == 0
+    assert e.groupBy("src", "dst").count().where("count > 1").count() == 0
+    # ids dense 0..n-1
+    n = vertices.count()
+    assert vertices.agg(F.min("id"), F.max("id")).collect()[0] == (0, n - 1)
+    # containment edges exist: every repo links to >=3 paths
+    rp = (
+        vertices.where(F.col("kind") == "r")
+        .join(g.sym(), F.col("id") == F.col("src"))
+        .groupBy("id")
+        .count()
+    )
+    assert rp.where(F.col("count") < 3).count() == 0
+
+
+def test_tpch_link_graph(spark):
+    g = tpch_link_graph(spark, "/root/testdata/sf0.001")
+    assert g.edges.where(F.col("src") >= F.col("dst")).count() == 0
+    n, m = g.num_nodes(), g.num_edges()
+    assert n > 100 and m > 500
+    # tripartite: customer ids < 1e6 <= part < 2e6 <= supplier
+    kinds = g.vertices().select(
+        F.when(F.col("id") < 1_000_000, "c")
+        .when(F.col("id") < 2_000_000, "p")
+        .otherwise("s")
+        .alias("k")
+    )
+    got = {r["k"] for r in kinds.distinct().collect()}
+    assert got == {"c", "p", "s"}
