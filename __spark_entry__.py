@@ -1,38 +1,508 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: PageRank over the link graph derived from
+the sf0.001 testdata, on the engine's CSR/superstep path.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (graph kernels on the customer—part—supplier link
+graph; text/dedup/similarity over documents/embeddings/events).  Every
+aggregate/computed column is aliased identically in Spark and SQL;
+floating outputs are rounded to 6 decimals on BOTH sides so value
+hashes match despite summation-order float noise.  Ops with no ANSI-SQL
+equivalent (LSH ANN, winnowing fingerprints, k-core peel, CSR-path
+kernels) have no oracle entry → driver records the rows-only check;
+their exact semantics are pytest-verified against NumPy oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from networkit_spark.linkgraph.extract import tpch_link_graph, tpch_link_graph_sql
+from networkit_spark.operators.pagerank import pagerank
+from networkit_spark.operators.components import connected_components, component_sizes
+from networkit_spark.operators.plp import plp
+from networkit_spark.operators.coarsening import coarsen_by_partition
+from networkit_spark.operators.degrees import degree_centrality
+from networkit_spark.operators import triangles as tri
+from networkit_spark.functions import dedup, similarity, text
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_EDGES = tpch_link_graph_sql()
+
+_GRAPH_CTES = f"""
+edges AS ({_EDGES}),
+sym AS (
+  SELECT src AS u, dst AS v, weight AS w FROM edges
+  UNION ALL
+  SELECT dst, src, weight FROM edges WHERE src <> dst
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym)
+"""
+
+_TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+)
+"""
+
+_SHINGLES = (
+    _TOKS
+    + r""",
+sh AS (
+  SELECT DISTINCT doc_id, s FROM toks,
+  UNNEST(CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END) AS u(s)
+)
+"""
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# driver API
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CSR/superstep PageRank on the sf0.001 link graph."""
+    g = tpch_link_graph(spark, "/root/testdata/sf0.001")
+    pr = pagerank(g, damp=0.85, tol=1e-8, impl="csr")
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---- graph queries --------------------------------------------------------
+
+
+def _q_degrees(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    return g.degrees().select("node", "deg", F.round("wdeg", 6).alias("wdeg"))
+
+
+def _q_components(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    return connected_components(g, impl="sql")
+
+
+def _q_component_sizes(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    return component_sizes(connected_components(g, impl="sql"))
+
+
+def _q_pagerank(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    pr = pagerank(g, damp=0.85, tol=0.0, max_iter=15, impl="sql")
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _q_pagerank_csr(spark, sf_dir):
+    """North-rule path (CSR supersteps); no SQL oracle — equivalence with
+    the sql path is pytest-asserted, driver records rows-only."""
+    g = tpch_link_graph(spark, sf_dir)
+    pr = pagerank(g, damp=0.85, tol=1e-8, impl="csr")
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _q_triangle_total(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    return tri.triangle_list(g).agg(F.count(F.lit(1)).alias("total_triangles"))
+
+
+def _q_triangle_edges(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    return tri.triangle_counts(g)
+
+
+def _q_lcc(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    return tri.local_clustering_coefficient(g).select(
+        "node", F.round("lcc", 6).alias("lcc")
+    )
+
+
+def _q_plp_sweep(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    return plp(g, max_iter=1, impl="sql")
+
+
+def _q_coarsen_kind(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    kind = g.vertices().select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") < 1_000_000, F.lit(0))
+        .when(F.col("id") < 2_000_000, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("label"),
+    )
+    coarse, _ = coarsen_by_partition(g, kind)
+    return coarse.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def _q_degree_top20(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    sc = degree_centrality(g)
+    w = Window.orderBy(F.desc("score"), F.asc("node"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("node", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# ---- documents / text -----------------------------------------------------
+
+
+def _q_token_count(spark, sf_dir):
+    return text.token_count(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def _q_exact_dups(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, max_df=100)
+
+
+def _q_minhash_sig(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup (bucket keys are md5 of band vectors) —
+    verified pairs only; rows-only check (bucketing not ANSI-SQL-
+    reproducible row-for-row; final pairs ARE pytest-checked against
+    exact jaccard)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash32(_docs(spark, sf_dir))
+
+
+# ---- embeddings -----------------------------------------------------------
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.cosine_topk(emb, queries=emb.where(F.col("vec_id") < 20), k=5)
+
+
+def _q_near_dups(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_lsh_topk(spark, sf_dir):
+    """Approximate ANN (random-hyperplane LSH) — rows-only check; recall
+    vs brute force is pytest-asserted."""
+    return similarity.lsh_topk(_emb(spark, sf_dir), k=5)
+
+
+# ---- events ---------------------------------------------------------------
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "graph_degrees": _q_degrees,
+        "graph_components": _q_components,
+        "graph_component_sizes": _q_component_sizes,
+        "graph_pagerank": _q_pagerank,
+        "graph_pagerank_csr": _q_pagerank_csr,
+        "graph_triangle_total": _q_triangle_total,
+        "graph_triangle_edges": _q_triangle_edges,
+        "graph_lcc": _q_lcc,
+        "graph_plp_sweep": _q_plp_sweep,
+        "graph_coarsen_kind": _q_coarsen_kind,
+        "graph_degree_top20": _q_degree_top20,
+        "doc_token_count": _q_token_count,
+        "doc_quality": _q_quality,
+        "doc_lang_id": _q_lang_id,
+        "doc_exact_dups": _q_exact_dups,
+        "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_minhash_sig": _q_minhash_sig,
+        "doc_minhash_lsh": _q_minhash_lsh,
+        "doc_simhash": _q_simhash,
+        "emb_cosine_topk": _q_cosine_topk,
+        "emb_near_dups": _q_near_dups,
+        "emb_lsh_topk": _q_lsh_topk,
+        "events_hourly": _q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{s}'" for s in text._EN_STOP)
+    markers_values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in text.LANG_MARKERS.items() for w in ws
+    )
+    return {
+        "graph_degrees": f"""
+WITH {_GRAPH_CTES}
+SELECT u AS node, COUNT(*) AS deg,
+       ROUND(SUM(w) + SUM(CASE WHEN u = v THEN w ELSE 0 END), 6) AS wdeg
+FROM sym GROUP BY u
+""",
+        "graph_components": f"""
+WITH RECURSIVE {_GRAPH_CTES},
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node WHERE r.label < s.v
+)
+SELECT node, MIN(label) AS label FROM reach GROUP BY node
+""",
+        "graph_component_sizes": f"""
+WITH RECURSIVE {_GRAPH_CTES},
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node WHERE r.label < s.v
+),
+lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT label, COUNT(*) AS size FROM lab GROUP BY label
+""",
+        "graph_pagerank": f"""
+WITH RECURSIVE {_GRAPH_CTES},
+deg AS (SELECT u, SUM(w) + SUM(CASE WHEN u = v THEN w ELSE 0 END) AS wdeg
+        FROM sym GROUP BY u),
+nn AS (SELECT COUNT(*) AS c FROM nodes),
+pr(iter, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT c FROM nn) FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, s.v,
+         0.85 * SUM(p.rank * s.w / d.wdeg) + 0.15 / (SELECT c FROM nn)
+  FROM pr p JOIN sym s ON s.u = p.node JOIN deg d ON d.u = p.node
+  WHERE p.iter < 15
+  GROUP BY p.iter + 1, s.v
+)
+SELECT node, ROUND(rank / SUM(rank) OVER (), 6) AS rank FROM pr WHERE iter = 15
+""",
+        "graph_triangle_total": f"""
+WITH {_GRAPH_CTES},
+e AS (SELECT src, dst FROM edges)
+SELECT COUNT(*) AS total_triangles
+FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+        "graph_triangle_edges": f"""
+WITH {_GRAPH_CTES},
+e AS (SELECT src, dst FROM edges),
+t AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS src, b AS dst FROM t
+  UNION ALL SELECT a, c FROM t
+  UNION ALL SELECT b, c FROM t
+),
+cnt AS (SELECT src, dst, COUNT(*) AS triangles FROM corners GROUP BY src, dst)
+SELECT e.src, e.dst, COALESCE(cnt.triangles, 0) AS triangles
+FROM e LEFT JOIN cnt ON e.src = cnt.src AND e.dst = cnt.dst
+""",
+        "graph_lcc": f"""
+WITH {_GRAPH_CTES},
+e AS (SELECT src, dst FROM edges),
+t AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+ncnt AS (
+  SELECT x AS node, COUNT(*) AS tri FROM (
+    SELECT a AS x FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t
+  ) GROUP BY x
+),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u)
+SELECT deg.node,
+       ROUND(CASE WHEN deg.d >= 2
+                  THEN 2.0 * COALESCE(ncnt.tri, 0) / (deg.d * (deg.d - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg LEFT JOIN ncnt ON deg.node = ncnt.node
+""",
+        "graph_plp_sweep": f"""
+WITH {_GRAPH_CTES},
+lw AS (
+  SELECT v AS node, u AS label, SUM(w) AS wsum FROM sym GROUP BY v, u
+),
+best AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY wsum DESC, label ASC) AS rn
+    FROM lw
+  ) WHERE rn = 1
+)
+SELECT n.node, COALESCE(b.label, n.node) AS label
+FROM nodes n LEFT JOIN best b ON n.node = b.node
+""",
+        "graph_coarsen_kind": f"""
+WITH {_GRAPH_CTES},
+lab AS (
+  SELECT node, CASE WHEN node < 1000000 THEN 0
+                    WHEN node < 2000000 THEN 1 ELSE 2 END AS label
+  FROM nodes
+)
+SELECT LEAST(la.label, lb.label) AS src, GREATEST(la.label, lb.label) AS dst,
+       ROUND(SUM(e.weight), 6) AS weight
+FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
+GROUP BY 1, 2
+""",
+        "graph_degree_top20": f"""
+WITH {_GRAPH_CTES},
+deg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS score FROM sym GROUP BY u)
+SELECT node, score, rnk FROM (
+  SELECT node, score, ROW_NUMBER() OVER (ORDER BY score DESC, node ASC) AS rnk FROM deg
+) WHERE rnk <= 20
+""",
+        "doc_token_count": f"""
+WITH {_TOKS}
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+""",
+        "doc_quality": f"""
+WITH {_TOKS},
+base AS (
+  SELECT doc_id, trim(lower(text)) AS tt, t FROM documents JOIN toks USING (doc_id)
+),
+m AS (
+  SELECT doc_id,
+         length(tt) AS n_chars,
+         len(t) AS n_tokens,
+         length(regexp_replace(tt, '[^.,!?;:]', '', 'g')) AS punct,
+         len(list_filter(t, x -> list_contains([{stop_list}], x))) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+       ROUND(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+       ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.4
+             + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2,
+             6) AS score
+FROM m
+""",
+        "doc_lang_id": f"""
+WITH {_TOKS},
+markers(lang, tok) AS (VALUES {markers_values}),
+tk AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+votes AS (
+  SELECT doc_id, lang, COUNT(*) AS votes
+  FROM tk JOIN markers USING (tok) GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY votes DESC, lang ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+""",
+        "doc_exact_dups": """
+SELECT md5(text) AS content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+""",
+        "doc_ngram_jaccard": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq ON sh.s = freq.s WHERE freq.df <= 100),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+""",
+        "doc_minhash_sig": f"""
+WITH {_SHINGLES},
+hs AS (SELECT UNNEST(range(0, 12)) AS h)
+SELECT doc_id, CAST(h AS BIGINT) AS h,
+       MIN(CAST(concat('0x', substr(md5(h || ':' || s), 1, 15)) AS BIGINT)) AS minhash
+FROM sh CROSS JOIN hs GROUP BY doc_id, h
+""",
+        "doc_simhash": f"""
+WITH {_TOKS},
+tk AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, COUNT(*) AS cnt,
+              CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th
+       FROM tk GROUP BY doc_id, tok),
+bits AS (SELECT doc_id, cnt, th, UNNEST(range(0, 32)) AS b FROM tf),
+sums AS (SELECT doc_id, b, SUM(cnt * (2 * ((th >> b) & 1) - 1)) AS s
+         FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM sums GROUP BY doc_id
+""",
+        "emb_cosine_topk": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 20),
+sims AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.emb, v.emb), 6) AS sim
+  FROM q CROSS JOIN v WHERE q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+""",
+        "emb_near_dups": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+""",
+        "events_hourly": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    }

@@ -119,19 +119,21 @@ def tpch_link_graph(spark: SparkSession, sf_dir: str) -> EdgeGraph:
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cust_part = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("src"),
-            (F.lit(PART_OFFSET) + F.col("l_partkey")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-    )
+    oli = orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+    cust_part = oli.groupBy(
+        F.col("o_custkey").alias("src"),
+        (F.lit(PART_OFFSET) + F.col("l_partkey")).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
     part_supp = lineitem.groupBy(
         (F.lit(PART_OFFSET) + F.col("l_partkey")).alias("src"),
         (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("dst"),
     ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
-    edges = cust_part.unionByName(part_supp)
+    # customer—supplier closes triangles through shared parts
+    cust_supp = oli.groupBy(
+        F.col("o_custkey").alias("src"),
+        (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    edges = cust_part.unionByName(part_supp).unionByName(cust_supp)
     return EdgeGraph(edges, directed=False, weighted=True)
 
 
@@ -148,5 +150,10 @@ def tpch_link_graph_sql(dialect: str = "duckdb") -> str:
     SELECT {PART_OFFSET} + l_partkey AS src, {SUPP_OFFSET} + l_suppkey AS dst,
            CAST(COUNT(*) AS DOUBLE) AS weight
     FROM lineitem
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS weight
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1, 2
     """

@@ -1,0 +1,97 @@
+"""Local simulation of the driver's correctness gate: run each
+``queries()`` entry in Spark and its ``oracle_sql()`` in DuckDB on the
+same sf dir; compare row count, column names, and order-insensitive
+values (floats rounded upstream by the queries themselves).
+
+Usage: python scripts/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from networkit_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r)) if not hasattr(r, "asDict") else r.asDict()
+        out.append(tuple(d[c] for c in sorted(cols)))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=16,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    ok = fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            srows = df.collect()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            ok += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            fail += 1
+            continue
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(cols)} vs {sorted(ocols)}")
+            fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            fail += 1
+            continue
+        a = norm([tuple(r) for r in srows], cols)
+        b = norm(orows, ocols)
+        if a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, first diffs {diffs}")
+            fail += 1
+            continue
+        print(f"OK   {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+        ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    spark.stop()
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
