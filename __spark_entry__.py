@@ -86,9 +86,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: CSR/superstep PageRank on the sf0.001 link graph."""
+    """Flagship: blob-superstep PageRank (the engine's fast path —
+    prepare-once CSR blob store, packed-array exchange supersteps) on the
+    sf0.001 link graph."""
     g = tpch_link_graph(spark, "/root/testdata/sf0.001")
-    pr = pagerank(g, damp=0.85, tol=1e-8, impl="csr")
+    pr = pagerank(g, damp=0.85, tol=1e-8, impl="blob")
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 

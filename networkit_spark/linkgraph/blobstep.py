@@ -1,0 +1,408 @@
+"""Fully-blobbed superstep engine for PageRank — the engine's fast path.
+
+Architecture (the 100 TB design, measured on local[32]):
+
+- Partition function ``part(node) = node % P`` — O(1), computable
+  identically in Spark SQL and numpy ⇒ NO routing join: the rank blob
+  for part p is exactly the message set for edge partition p.
+- prepare() shuffles the symmetrized edge table ONCE by ``src % P`` and
+  writes per-partition CSR blocks (row/indptr/dst/weight) PLUS the
+  static per-partition state (sorted node ids, 1/weightedDegree) as
+  memory-mapped numpy files.  After prepare, neither edges nor static
+  state ever cross the JVM→Python boundary again — supersteps ship only
+  the rank vector.
+- State: ONE row per partition ``(part, rank binary)`` — a packed
+  float64 array inside an Arrow record batch (~n·8 bytes total).
+- A superstep is TWO fused vectorized stages:
+
+    1. gather:  state row p → vals = rank·invw → CSR gather against
+                block p → partial sums split by ``recv % P`` →
+                ``(dpart, dense-slab)`` packed rows
+    2. update:  cogroup(partials, state) on part → vector-add the
+                dense slabs →
+                ``damp·agg + (1-damp)/n`` → new rank blob + per-part
+                delta² / rank-sum scalars
+
+  Shuffle traffic per superstep: O(n) packed bytes in ≤ P² rows — no
+  per-row serialization, no sort-merge joins, no row-wise state.
+- Convergence: driver sums the per-part delta² scalars from the
+  checkpointed 32-row DataFrame (reference L2 rule).
+- Checkpoint/resume: the state DataFrame round-trips through parquet
+  (binary column); metrics per superstep via Checkpointer.
+
+Hub note: this fast path does not salt hub adjacency (a part owns all
+out-edges of its nodes); the general engine (``superstep.prepare`` +
+``impl="csr"``) salts hubs across partitions and is the path for graphs
+whose single-vertex adjacency exceeds a partition budget.  At web scale
+you size P so Σ outdeg per part ≈ m/P and use the salted path for
+super-hubs (SURVEY.md §4).
+
+This is the distributed re-expression of NetworKit's in-memory CSR +
+OpenMP loop (``cpp/centrality/PageRank.cpp:20-71``,
+``cpp/structures/LowToHighDirectedGraph.h:38-42``): identical math, the
+fork-join replaced by an explicit P-way packed-blob exchange.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.linkgraph.superstep import Checkpointer
+
+try:  # executor-side self-containment (see superstep.py)
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+_BLOB_CACHE: dict = {}
+
+
+def _load(blob_dir: str, part: int, names: tuple[str, ...]):
+    out = []
+    for nm in names:
+        key = (blob_dir, part, nm)
+        arr = _BLOB_CACHE.get(key)
+        if arr is None:
+            arr = np.load(os.path.join(blob_dir, f"p{part}_{nm}.npy"), mmap_mode="r")
+            _BLOB_CACHE[key] = arr
+        out.append(arr)
+    return out
+
+
+def _write_csr(blob_dir: str, pdf: pd.DataFrame, num_parts: int) -> pd.DataFrame:
+    """CSR block + STATIC gather plan for one source partition.
+
+    Precomputed once so the per-superstep gather is branch-free numpy:
+    - row/indptr/w:   CSR over (src-sorted) edges
+    - rinv:           edge → receiver-slot inverse index, receiver slots
+                      ordered by (destination partition, node id)
+    - rbounds:        slice bounds of the receiver slots per dpart
+    - ridx:           receiver slot → position in the destination
+                      partition's sorted static node list (snodes), so
+                      partials ship as DENSE float64 slabs with no index
+                      arrays on the wire
+    """
+    part = int(pdf["part"].iloc[0])
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    w = pdf["weight"].to_numpy(np.float64)
+    order = np.argsort(src, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+    row_nodes, counts = np.unique(src, return_counts=True)
+    indptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    base = os.path.join(blob_dir, f"p{part}")
+    np.save(base + "_row.npy", row_nodes)
+    np.save(base + "_indptr.npy", indptr)
+    np.save(base + "_w.npy", w)
+    u, inv = np.unique(dst, return_inverse=True)
+    dpart = (u % num_parts).astype(np.int64)
+    order2 = np.argsort(dpart, kind="stable")
+    remap = np.empty(len(u), dtype=np.int64)
+    remap[order2] = np.arange(len(u))
+    u2, dp2 = u[order2], dpart[order2]
+    bounds = np.searchsorted(dp2, np.arange(num_parts + 1))
+    ridx = np.empty(len(u2), dtype=np.int64)
+    for p in range(num_parts):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        if lo == hi:
+            continue
+        snodes = np.load(os.path.join(blob_dir, f"p{p}_snodes.npy"), mmap_mode="r")
+        ridx[lo:hi] = np.searchsorted(snodes, u2[lo:hi])
+    np.save(base + "_rinv.npy", remap[inv])
+    np.save(base + "_rbounds.npy", bounds)
+    np.save(base + "_ridx.npy", ridx)
+    return pd.DataFrame({"part": [part], "rows": [len(pdf)]})
+
+
+class PageRankBlobEngine:
+    """prepare once → run(damp, tol) any number of times.
+
+    ``attach()`` reopens an existing blob store (prepared by another
+    process / cluster job) without re-shuffling — the blob store is the
+    durable prepared-graph artifact, so N-executor and 4N-executor runs
+    measure superstep throughput on the identical partitioned input.
+    """
+
+    @classmethod
+    def attach(cls, spark, blob_dir: str) -> "PageRankBlobEngine":
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.blob_dir = blob_dir
+        parts = sorted(
+            int(f[1:].split("_")[0])
+            for f in os.listdir(blob_dir)
+            if f.endswith("_snodes.npy")
+        )
+        self.part_sizes = {
+            p: int(np.load(os.path.join(blob_dir, f"p{p}_snodes.npy"), mmap_mode="r").shape[0])
+            for p in parts
+        }
+        self.state_parts = parts
+        import json
+
+        with open(os.path.join(blob_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.P = meta["P"]
+        self.n = meta["n"]
+        return self
+
+    def __init__(self, graph: EdgeGraph, num_parts: int | None = None,
+                 blob_root: str | None = None, blob_dir: str | None = None):
+        spark = graph.spark
+        self.spark = spark
+        if num_parts is None:
+            num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.P = P = num_parts
+        import tempfile
+
+        if blob_dir is not None:
+            os.makedirs(blob_dir, exist_ok=True)
+            self.blob_dir = bd = blob_dir
+        else:
+            root = blob_root or os.environ.get("SPARK_GRAFT_BLOB_ROOT", tempfile.gettempdir())
+            self.blob_dir = bd = tempfile.mkdtemp(prefix="nk_prblob_", dir=root)
+
+        sym = graph.sym()
+        vdeg = graph.degrees().select(
+            "node",
+            F.when(F.col("wdeg") > 0, 1.0 / F.col("wdeg")).otherwise(F.lit(0.0)).alias("invw"),
+        )
+        verts = (
+            graph.vertices()
+            .join(vdeg, F.col("id") == F.col("node"), "left")
+            .select(F.col("id").alias("node"), F.coalesce("invw", F.lit(0.0)).alias("invw"))
+        )
+        self.n = verts.count()
+
+        def write_static(pdf: pd.DataFrame) -> pd.DataFrame:
+            part = int(pdf["part"].iloc[0])
+            nodes = pdf["node"].to_numpy(np.int64)
+            invw = pdf["invw"].to_numpy(np.float64)
+            order = np.argsort(nodes)
+            np.save(os.path.join(bd, f"p{part}_snodes.npy"), nodes[order])
+            np.save(os.path.join(bd, f"p{part}_invw.npy"), invw[order])
+            return pd.DataFrame({"part": [part], "cnt": [len(nodes)]})
+
+        parts_df = (
+            verts.withColumn("part", F.pmod("node", F.lit(P)).cast("int"))
+            .groupBy("part")
+            .applyInPandas(write_static, "part int, cnt long")
+        )
+        self.part_sizes = {int(r["part"]): int(r["cnt"]) for r in parts_df.collect()}
+        self.state_parts = sorted(self.part_sizes)
+        # the CSR/gather-plan pass reads snodes blobs → must run second
+        edges_p = sym.select(
+            F.pmod("src", F.lit(P)).cast("int").alias("part"), "src", "dst", "weight"
+        ).repartition(P, "part")
+        edges_p.groupBy("part").applyInPandas(
+            lambda pdf: _write_csr(bd, pdf, P), "part int, rows long"
+        ).count()
+        import json
+
+        with open(os.path.join(bd, "meta.json"), "w") as f:
+            json.dump({"P": P, "n": self.n}, f)
+
+    def run(
+        self,
+        damp: float = 0.85,
+        tol: float = 1e-8,
+        max_iter: int | None = None,
+        checkpointer: Checkpointer | None = None,
+        chain_k: int = 8,
+    ) -> DataFrame:
+        """Returns (node, rank), Σ rank = 1 — reference semantics
+        (dangling mass lost; L2 tol; final normalization;
+        ``PageRank.cpp:20-71``).  ``chain_k`` supersteps run fused per
+        Spark job (see loop comment)."""
+        P, n, bd = self.P, self.n, self.blob_dir
+        damp_f, teleport = float(damp), (1.0 - damp) / n
+        # AQE would coalesce the small-byte/high-compute blob shuffles to
+        # a single task, serializing the numpy work — pin the partition
+        # count for the duration of the run.
+        conf = self.spark.conf
+        old_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # State is tiny (n·8 bytes packed in P rows): durable parquet
+        # round-trip EVERY superstep is the lineage truncation — cheap,
+        # resumable by construction, and avoids driver-side
+        # localCheckpoint instability in rapid iteration loops.
+        if checkpointer is None or checkpointer.dir is None:
+            import tempfile
+
+            ckpt = Checkpointer(
+                tempfile.mkdtemp(prefix="nk_prstate_", dir=os.path.dirname(bd)),
+                interval=1,
+            )
+        else:
+            ckpt = checkpointer
+            ckpt.interval = 1
+
+        resumed = ckpt.resume(self.spark)
+        if resumed is not None:
+            it, state = resumed
+        else:
+            it = 0
+
+            def init_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+                part = int(pdf["part"].iloc[0])
+                (snodes,) = _load(bd, part, ("snodes",))
+                return pd.DataFrame(
+                    {"part": [part], "rank": [np.full(len(snodes), 1.0 / n).tobytes()]}
+                )
+
+            seed = self.spark.createDataFrame(
+                [(p,) for p in self.state_parts], "part int"
+            )
+            state = ckpt.step(
+                seed.groupBy("part").applyInPandas(init_rank, "part int, rank binary"),
+                0,
+            )
+
+        part_sizes = self.part_sizes
+
+        def fused_stage(pdf: pd.DataFrame) -> pd.DataFrame:
+            """ONE stage = one full superstep for one partition p:
+            update rank_p from the partial slabs gathered in the previous
+            stage, then gather from the new rank against CSR block p,
+            emitting next-step slabs (kind=0, key=dpart) plus the state
+            row (kind=1, key=p).  Partials and state share one keyed
+            DataFrame, so each superstep is a single groupBy →
+            applyInPandas — the chained plan stays LINEAR (a cogroup
+            formulation references the state twice and the plan tree
+            doubles per chained step).
+
+            A state row with gathered=0 marks a primer stage: gather
+            only, no update (slabs can be legitimately absent for a
+            partition nothing links to)."""
+            srow = pdf[pdf["kind"] == 1]
+            if len(srow) == 0:
+                return pdf.iloc[0:0]
+            part = int(srow["key"].iloc[0])
+            rank_old = np.frombuffer(srow["blob"].iloc[0], dtype=np.float64)
+            primer = int(srow["gathered"].iloc[0]) == 0
+            if primer:
+                rank_new, delta_sq = rank_old, float("inf")
+            else:
+                agg = np.zeros(len(rank_old))
+                for b in pdf[pdf["kind"] == 0]["blob"]:
+                    agg += np.frombuffer(b, dtype=np.float64)
+                rank_new = damp_f * agg + teleport
+                delta_sq = float(((rank_old - rank_new) ** 2).sum())
+            rows = {"key": [], "kind": [], "blob": [], "gathered": [],
+                    "delta_sq": [], "rank_sum": []}
+            if os.path.exists(os.path.join(bd, f"p{part}_row.npy")):
+                snodes, invw = _load(bd, part, ("snodes", "invw"))
+                vals = rank_new * invw
+                row_nodes, indptr, w, inv, bounds = _load(
+                    bd, part, ("row", "indptr", "w", "rinv", "rbounds")
+                )
+                pos = np.searchsorted(snodes, row_nodes)
+                counts = np.diff(indptr)
+                contrib = np.repeat(vals[pos], counts) * np.asarray(w)
+                sums = np.bincount(inv, weights=contrib, minlength=int(bounds[-1]))
+                ridx = _load(bd, part, ("ridx",))[0]
+                for p in range(P):
+                    lo, hi = int(bounds[p]), int(bounds[p + 1])
+                    if lo == hi:
+                        continue
+                    dense = np.zeros(part_sizes[p])
+                    dense[np.asarray(ridx[lo:hi])] = sums[lo:hi]
+                    rows["key"].append(p)
+                    rows["kind"].append(0)
+                    rows["blob"].append(dense.tobytes())
+                    rows["gathered"].append(1)
+                    rows["delta_sq"].append(0.0)
+                    rows["rank_sum"].append(0.0)
+            rows["key"].append(part)
+            rows["kind"].append(1)
+            rows["blob"].append(rank_new.tobytes())
+            rows["gathered"].append(1)
+            rows["delta_sq"].append(delta_sq)
+            rows["rank_sum"].append(float(rank_new.sum()))
+            return pd.DataFrame(rows)
+
+        schema = "key int, kind int, blob binary, gathered int, delta_sq double, rank_sum double"
+
+        def as_stream(st):
+            return st.select(
+                F.col("part").alias("key"), F.lit(1).alias("kind"),
+                F.col("rank").alias("blob"), F.lit(0).alias("gathered"),
+                F.lit(float("inf")).alias("delta_sq"), F.lit(0.0).alias("rank_sum"),
+            )
+
+        if "kind" not in state.columns:
+            stream = as_stream(state)
+            stream = stream.groupBy("key").applyInPandas(fused_stage, schema)  # primer
+        else:
+            stream = state
+
+        while True:
+            t0 = time.time()
+            steps = chain_k
+            if max_iter is not None:
+                steps = min(steps, max_iter - it)
+            plan = stream
+            for _ in range(max(steps, 1)):
+                plan = plan.groupBy("key").applyInPandas(fused_stage, schema)
+                it += 1
+            stream = ckpt.step(plan, it, rows=n, wall_ms=(time.time() - t0) * 1e3)
+            sums = stream.where(F.col("kind") == 1).agg(
+                F.sum("delta_sq").alias("d"), F.sum("rank_sum").alias("s")
+            ).collect()[0]
+            delta = math.sqrt(sums["d"] or 0.0)
+            ckpt.history[-1]["delta"] = delta
+            if delta <= tol or (max_iter is not None and it >= max_iter):
+                total = sums["s"]
+                break
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+        state = stream.where(F.col("kind") == 1).select(
+            F.col("key").alias("part"), F.col("blob").alias("rank")
+        )
+
+        def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for _, r in pdf.iterrows():
+                (snodes,) = _load(bd, int(r["part"]), ("snodes",))
+                rank = np.frombuffer(r["rank"], dtype=np.float64) / total
+                frames.append(pd.DataFrame({"node": np.asarray(snodes), "rank": rank}))
+            if not frames:
+                return pd.DataFrame({"node": [], "rank": []}).astype(
+                    {"node": "int64", "rank": "float64"}
+                )
+            return pd.concat(frames)
+
+        return state.groupBy("part").applyInPandas(unpack, "node long, rank double")
+
+    def close(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.blob_dir, ignore_errors=True)
+
+
+def pagerank_blob(
+    graph: EdgeGraph,
+    damp: float = 0.85,
+    tol: float = 1e-8,
+    max_iter: int | None = None,
+    num_parts: int | None = None,
+    checkpointer: Checkpointer | None = None,
+    engine: PageRankBlobEngine | None = None,
+) -> DataFrame:
+    own = engine is None
+    eng = engine or PageRankBlobEngine(graph, num_parts=num_parts)
+    out = eng.run(damp=damp, tol=tol, max_iter=max_iter, checkpointer=checkpointer)
+    if own:
+        out = out.persist()
+        out.count()  # materialize before the blob store is removed
+        eng.close()
+    return out

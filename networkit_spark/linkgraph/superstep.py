@@ -123,14 +123,130 @@ def _gather_partials(edges_pdf: pd.DataFrame, msgs_pdf: pd.DataFrame, op: str) -
     raise ValueError(op)
 
 
+_CSR_CACHE: dict = {}
+
+
+def _load_csr_blob(blob_dir: str, part: int):
+    """Memory-mapped CSR block for one partition, cached per Python
+    worker process (worker reuse keeps the mmap across supersteps; the
+    OS page cache dedups across workers)."""
+    key = (blob_dir, part)
+    hit = _CSR_CACHE.get(key)
+    if hit is None:
+        base = os.path.join(blob_dir, f"p{part}")
+        hit = tuple(
+            np.load(base + suf, mmap_mode="r")
+            for suf in ("_row.npy", "_indptr.npy", "_dst.npy", "_w.npy")
+        )
+        _CSR_CACHE[key] = hit
+    return hit
+
+
+def _gather_blob(blob_dir: str, num_parts: int, msgs_pdf: pd.DataFrame, op: str) -> pd.DataFrame:
+    """Stage 1 of the blob exchange: per-partition gather against the
+    sideloaded CSR blob, partial-combined by receiver, emitted as ONE
+    packed binary row per receiver partition (``dpart = recv % P``).
+    The edge table never crosses the JVM→Python boundary after prepare,
+    and the exchange itself is P² blob rows, not O(m) scalar rows."""
+    empty = pd.DataFrame({"dpart": [], "nodes": [], "labels": [], "vals": []}).astype(
+        {"dpart": "int32", "nodes": "object", "labels": "object", "vals": "object"}
+    )
+    if len(msgs_pdf) == 0:
+        return empty
+    part = int(msgs_pdf["part"].iloc[0])
+    row_nodes, indptr, dst, w = _load_csr_blob(blob_dir, part)
+    m_node = msgs_pdf["node"].to_numpy(np.int64)
+    m_val = msgs_pdf["value"].to_numpy(np.float64)
+    pos = np.searchsorted(row_nodes, m_node)
+    ok = (pos < len(row_nodes)) & (row_nodes[np.clip(pos, 0, len(row_nodes) - 1)] == m_node)
+    pos, vals = pos[ok], m_val[ok]
+    if len(pos) == 0:
+        return empty
+    counts = (indptr[pos + 1] - indptr[pos]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    edge_idx = np.repeat(indptr[pos], counts) + (
+        np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    )
+    recv = dst[edge_idx]
+    if op == OP_WSUM:
+        contrib = np.repeat(vals, counts) * w[edge_idx]
+        u, inv = np.unique(recv, return_inverse=True)
+        sums = np.bincount(inv, weights=contrib)
+        labs = None
+    elif op == OP_MIN:
+        sv = np.repeat(vals, counts)
+        u, inv = np.unique(recv, return_inverse=True)
+        sums = np.full(len(u), np.inf)
+        np.minimum.at(sums, inv, sv)
+        labs = None
+    else:  # OP_LABEL_WSUM: key = (recv, label)
+        lab = np.repeat(vals, counts).astype(np.int64)
+        key = np.stack([recv, lab])
+        u2, inv = np.unique(key, axis=1, return_inverse=True)
+        sums = np.bincount(inv, weights=w[edge_idx])
+        u, labs = u2[0], u2[1]
+    dpart = (u % num_parts).astype(np.int64)
+    order = np.argsort(dpart, kind="stable")
+    u, sums, dpart = u[order], sums[order], dpart[order]
+    if labs is not None:
+        labs = labs[order]
+    bounds = np.searchsorted(dpart, np.arange(num_parts + 1))
+    rows = {"dpart": [], "nodes": [], "labels": [], "vals": []}
+    for p in range(num_parts):
+        lo, hi = bounds[p], bounds[p + 1]
+        if lo == hi:
+            continue
+        rows["dpart"].append(p)
+        rows["nodes"].append(u[lo:hi].astype(np.int64).tobytes())
+        rows["labels"].append(labs[lo:hi].astype(np.int64).tobytes() if labs is not None else b"")
+        rows["vals"].append(sums[lo:hi].astype(np.float64).tobytes())
+    return pd.DataFrame(rows)
+
+
+def _merge_blob(pdf: pd.DataFrame, op: str) -> pd.DataFrame:
+    """Stage 2: merge partial blobs for one receiver partition."""
+    if len(pdf) == 0:
+        cols = (
+            {"node": [], "label": [], "partial": []}
+            if op == OP_LABEL_WSUM
+            else {"node": [], "partial": []}
+        )
+        return pd.DataFrame(cols).astype(
+            {k: ("float64" if k == "partial" else "int64") for k in cols}
+        )
+    nodes = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["nodes"]])
+    vals = np.concatenate([np.frombuffer(b, dtype=np.float64) for b in pdf["vals"]])
+    if op == OP_LABEL_WSUM:
+        labels = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["labels"]])
+        key = np.stack([nodes, labels])
+        u2, inv = np.unique(key, axis=1, return_inverse=True)
+        sums = np.bincount(inv, weights=vals)
+        return pd.DataFrame({"node": u2[0], "label": u2[1], "partial": sums})
+    u, inv = np.unique(nodes, return_inverse=True)
+    if op == OP_WSUM:
+        out = np.bincount(inv, weights=vals)
+    else:
+        out = np.full(len(u), np.inf)
+        np.minimum.at(out, inv, vals)
+    return pd.DataFrame({"node": u, "partial": out})
+
+
 @dataclass
 class PreparedGraph:
     """An edge set shuffled ONCE into P stable hub-salted partitions.
 
     ``edges_p``: (part, src, dst, weight) hash-partitioned by ``part`` and
-    sorted within partitions — the persistent CSR blocks.
+    sorted within partitions — the persistent CSR blocks (DataFrame form).
     ``route``: (node, part) — every partition holding out-edges of
     ``node``; non-hubs map to exactly one part, hubs to ``ceil(deg/cap)``.
+    ``blob_dir``: when set, each partition's CSR block is ALSO stored as
+    memory-mapped numpy arrays (row/indptr/dst/w) — supersteps then ship
+    only the O(n) message rows; the edge table never re-crosses the
+    JVM→Python boundary.  In local mode the blobs live on local disk; on
+    a cluster point ``blob_dir`` at shared storage (or executor-local SSD
+    + consistent task placement).
     """
 
     spark: SparkSession
@@ -138,6 +254,7 @@ class PreparedGraph:
     route: DataFrame
     num_parts: int
     num_hubs: int
+    blob_dir: str | None = None
 
     def gather(self, messages: DataFrame, op: str) -> DataFrame:
         """One shuffle-exchange superstep.
@@ -148,22 +265,39 @@ class PreparedGraph:
         aggregates are reduced by receiver.  Returns:
         ``wsum``/``min`` → (node, agg);  ``label_wsum`` → (node, label, wsum).
         """
-        msgs = (
-            messages.select(F.col("node").cast("long"), F.col("value").cast("double"))
-            .join(self.route, "node")
-            .select(
-                F.col("part").alias("mpart"), F.col("node").alias("node"), "value"
-            )
-        )
         if op == OP_LABEL_WSUM:
             schema = "node long, label long, partial double"
         else:
             schema = "node long, partial double"
-        partials = (
-            self.edges_p.groupBy("part")
-            .cogroup(msgs.groupBy("mpart"))
-            .applyInPandas(lambda l, r: _gather_partials(l, r, op), schema)
-        )
+        if self.blob_dir is not None:
+            msgs = (
+                messages.select(F.col("node").cast("long"), F.col("value").cast("double"))
+                .join(self.route, "node")
+            )
+            blob_dir, P = self.blob_dir, self.num_parts
+            blobs = msgs.groupBy("part").applyInPandas(
+                lambda pdf: _gather_blob(blob_dir, P, pdf, op),
+                "dpart int, nodes binary, labels binary, vals binary",
+            )
+            merged = blobs.groupBy("dpart").applyInPandas(
+                lambda pdf: _merge_blob(pdf, op), schema
+            )
+            if op == OP_WSUM:
+                return merged.select("node", F.col("partial").alias("agg"))
+            if op == OP_MIN:
+                return merged.select("node", F.col("partial").alias("agg"))
+            return merged.select("node", "label", F.col("partial").alias("wsum"))
+        else:
+            msgs = (
+                messages.select(F.col("node").cast("long"), F.col("value").cast("double"))
+                .join(self.route, "node")
+                .select(F.col("part").alias("mpart"), "node", "value")
+            )
+            partials = (
+                self.edges_p.groupBy("part")
+                .cogroup(msgs.groupBy("mpart"))
+                .applyInPandas(lambda l, r: _gather_partials(l, r, op), schema)
+            )
         if op == OP_WSUM:
             return partials.groupBy("node").agg(F.sum("partial").alias("agg"))
         if op == OP_MIN:
@@ -173,12 +307,28 @@ class PreparedGraph:
     def unpersist(self) -> None:
         self.edges_p.unpersist()
         self.route.unpersist()
+        if self.blob_dir is not None:
+            import shutil
+
+            shutil.rmtree(self.blob_dir, ignore_errors=True)
+
+
+def _write_csr_blob(blob_dir: str, pdf: pd.DataFrame) -> pd.DataFrame:
+    part = int(pdf["part"].iloc[0])
+    row_nodes, indptr, dst, w = _csr_block(pdf)
+    base = os.path.join(blob_dir, f"p{part}")
+    np.save(base + "_row.npy", row_nodes)
+    np.save(base + "_indptr.npy", indptr.astype(np.int64))
+    np.save(base + "_dst.npy", dst)
+    np.save(base + "_w.npy", w)
+    return pd.DataFrame({"part": [part], "rows": [len(pdf)]})
 
 
 def prepare(
     sym_edges: DataFrame,
     num_parts: int | None = None,
     hub_cap: int = 1 << 20,
+    blob_dir: str | None | bool = None,
 ) -> PreparedGraph:
     """Shuffle the (symmetrized, gather-direction) edge table once into P
     stable partitions with hub salting, build the message route, persist.
@@ -186,6 +336,14 @@ def prepare(
     ``hub_cap`` is the max out-edges of one vertex per partition; size it
     so a partition's CSR block fits executor memory (default 1M rows ≈
     24 MB).  At 100 TB you raise P, not hub_cap.
+
+    ``blob_dir``: True → materialize per-partition CSR blocks as
+    mmap-able numpy files in a fresh temp dir (set
+    ``$SPARK_GRAFT_BLOB_ROOT`` to relocate; on a cluster use shared
+    storage) — the fast path for long iteration runs.  None (default) →
+    cogroup fallback (edge rows re-streamed per superstep; fully
+    self-contained, zero storage assumptions — right for correctness
+    tests and small graphs).
     """
     spark = sym_edges.sparkSession
     if num_parts is None:
@@ -215,9 +373,27 @@ def prepare(
         .persist()
     )
     route = edges_p.select(F.col("src").alias("node"), "part").distinct().persist()
-    edges_p.count()  # materialize the one-time edge shuffle
+
+    resolved_blob_dir: str | None = None
+    if blob_dir is True:
+        import tempfile
+
+        root = os.environ.get("SPARK_GRAFT_BLOB_ROOT", tempfile.gettempdir())
+        resolved_blob_dir = tempfile.mkdtemp(prefix="nk_csr_", dir=root)
+    elif isinstance(blob_dir, str):
+        resolved_blob_dir = blob_dir
+        os.makedirs(resolved_blob_dir, exist_ok=True)
+
+    if resolved_blob_dir is not None:
+        bd = resolved_blob_dir
+        # one pass: write each partition's CSR block as numpy files
+        edges_p.groupBy("part").applyInPandas(
+            lambda pdf: _write_csr_blob(bd, pdf), "part int, rows long"
+        ).count()
+    else:
+        edges_p.count()  # materialize the one-time edge shuffle
     route.count()
-    return PreparedGraph(spark, edges_p, route, P, num_hubs)
+    return PreparedGraph(spark, edges_p, route, P, num_hubs, resolved_blob_dir)
 
 
 class Checkpointer:

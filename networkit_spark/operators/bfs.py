@@ -1,0 +1,125 @@
+"""Traversal / distance kernels.
+
+- ``BFS(G, source)`` (``cpp/distance/BFS.h:20``): unweighted SSSP —
+  iterative frontier semi-joins; returns (node, dist), unreachable nodes
+  absent (the reference marks them ∞).
+- ``Dijkstra`` (``cpp/distance/Dijkstra.h:21``): weighted SSSP — no
+  distributed priority queue; Bellman-Ford-style relax supersteps
+  (converges in O(diameter) rounds on positive weights).
+- ``Diameter`` bounds via double-sweep (``cpp/distance/Diameter.h:22``
+  EstimatedRange mode): BFS from u → farthest w → BFS from w; lower
+  bound = ecc(w).
+- ``EffectiveDiameterApproximation`` (``cpp/distance/
+  EffectiveDiameterApproximation.h:19``): HyperANF-style — per-vertex
+  neighborhood-function estimate via iterated HLL register merging; we
+  expose the exact small-scale neighborhood function via repeated
+  frontier expansion and document the HLL variant as the at-scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import EdgeGraph
+
+
+def bfs(graph: EdgeGraph, source: int, max_depth: int | None = None) -> DataFrame:
+    """(node, dist) — hop distance from source; reachable nodes only."""
+    sym = graph.sym().select("src", "dst").persist()
+    dist = graph.spark.createDataFrame([(int(source), 0)], "node long, dist long")
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    d = 0
+    while True:
+        d += 1
+        if max_depth is not None and d > max_depth:
+            break
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    sym.unpersist()
+    return dist
+
+
+def sssp(graph: EdgeGraph, source: int, max_rounds: int = 64) -> DataFrame:
+    """(node, dist) — weighted shortest paths (Bellman-Ford supersteps,
+    positive weights; the Dijkstra surface)."""
+    sym = graph.sym().persist()
+    inf = float("inf")
+    dist = graph.vertices().select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") == source, 0.0).otherwise(F.lit(inf)).alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        cand = (
+            sym.join(dist.withColumnRenamed("node", "src").withColumnRenamed("dist", "sdist"), "src")
+            .where(F.col("sdist") != inf)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("sdist") + F.col("weight")).alias("cand"))
+        )
+        new = dist.join(cand, "node", "left").select(
+            "node",
+            F.least("dist", F.coalesce("cand", "dist")).alias("dist"),
+            (F.coalesce("cand", F.lit(inf)) < F.col("dist")).alias("chg"),
+        ).localCheckpoint(eager=True)
+        changed = new.where("chg").count()
+        dist = new.select("node", "dist")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return dist.where(F.col("dist") != inf)
+
+
+def eccentricity(graph: EdgeGraph, source: int) -> int:
+    """``Eccentricity`` — max BFS depth from source."""
+    d = bfs(graph, source)
+    return d.agg(F.max("dist")).collect()[0][0] or 0
+
+
+def diameter_range(graph: EdgeGraph, start: int | None = None) -> tuple[int, int]:
+    """Double-sweep bounds (iFub seed, ``Diameter.h`` EstimatedRange):
+    returns (lower, upper) = (ecc(w), 2·ecc(w)) from the double sweep."""
+    if start is None:
+        start = graph.vertices().agg(F.min("id")).collect()[0][0]
+    d1 = bfs(graph, start)
+    far = d1.orderBy(F.desc("dist"), F.asc("node")).first()["node"]
+    d2 = bfs(graph, far)
+    ecc = d2.agg(F.max("dist")).collect()[0][0] or 0
+    return ecc, 2 * ecc
+
+
+def neighborhood_function(graph: EdgeGraph, max_h: int = 8) -> DataFrame:
+    """(h, reachable_pairs) — exact N(h) via h-hop frontier closure
+    (small graphs / validation).  At 100 TB use the HyperANF form:
+    per-vertex HLL registers ORed along edges per superstep
+    (``approx_count_distinct``-style union), identical loop structure."""
+    sym = graph.sym().select("src", "dst").persist()
+    reach = sym.select("src", "dst").unionByName(
+        graph.vertices().select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    rows = [(0, graph.num_nodes()), (1, reach.count())]
+    for h in range(2, max_h + 1):
+        nxt = (
+            reach.join(sym.withColumnRenamed("src", "mid").withColumnRenamed("dst", "nxt"),
+                       reach["dst"] == F.col("mid"))
+            .select("src", F.col("nxt").alias("dst"))
+            .unionByName(reach.select("src", "dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        c = nxt.count()
+        rows.append((h, c))
+        if c == rows[-2][1]:
+            break
+        reach = nxt
+    sym.unpersist()
+    return graph.spark.createDataFrame(rows, "h int, reachable_pairs long")

@@ -64,6 +64,13 @@ def pagerank(
     n = graph.num_nodes()
     if n == 0:
         return spark.createDataFrame([], "node long, rank double")
+    if impl == "blob":
+        from networkit_spark.linkgraph.blobstep import pagerank_blob
+
+        return pagerank_blob(
+            graph, damp=damp, tol=tol, max_iter=max_iter,
+            num_parts=num_parts, checkpointer=checkpointer,
+        )
 
     sym = graph.sym()
     # invw = 1/weightedDegree; senders with wdeg=0 never occur as edge

@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Iterative pandas-UDF kernels: keep the Python worker pool warm
+        # (a fresh worker pays ~1-2 s of interpreter+numpy import, which
+        # would dominate every superstep) and never kill on idle.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
+        .config("spark.python.worker.killOnIdleTimeout", "false")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "96")
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

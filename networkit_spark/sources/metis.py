@@ -1,0 +1,54 @@
+"""METIS adjacency-format reader.
+
+Format (``cpp/io/METISGraphReader.cpp``, 115 LoC): header line
+``n m [fmt]``; line i (1-based, after the header, comments ``%``) lists
+the neighbors of node i-1... in METIS node ids are 1-based, so a line
+``2 5`` for node 0 means edges (0,1) and (0,4).  ``fmt``=1 means
+weighted: lines alternate ``neighbor weight`` pairs.
+
+Spark: ``spark.read.text`` has no line numbers, so we zip them in via a
+window over a monotonic id — acceptable for fixture-scale files (METIS
+files are test inputs here; parquet is the at-scale format).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from networkit_spark.graph import EdgeGraph, canonicalize
+
+
+def read_metis(spark: SparkSession, path: str) -> EdgeGraph:
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("mid"), F.trim("value").alias("line")
+    )
+    lines = lines.where((F.col("line") != "") & (~F.col("line").startswith("%")))
+    lines = lines.withColumn("lineno", F.row_number().over(Window.orderBy("mid")) - 1)
+    header = lines.where(F.col("lineno") == 0).select(
+        F.split("line", r"\s+").alias("h")
+    ).collect()[0]["h"]
+    weighted = len(header) >= 3 and header[2] in ("1", "011", "11")
+    body = lines.where(F.col("lineno") > 0).select(
+        (F.col("lineno") - 1).cast("long").alias("src"),
+        F.split("line", r"\s+").alias("toks"),
+    )
+    if not weighted:
+        e = body.select(
+            "src", (F.explode("toks").cast("long") - 1).alias("dst")
+        ).withColumn("weight", F.lit(1.0))
+    else:
+        # pairs (neighbor, weight): posexplode, even positions = neighbor
+        ex = body.select("src", F.posexplode("toks").alias("pos", "tok"))
+        nb = ex.where(F.col("pos") % 2 == 0).select(
+            "src", (F.col("tok").cast("long") - 1).alias("dst"), (F.col("pos") / 2).cast("int").alias("k")
+        )
+        wt = ex.where(F.col("pos") % 2 == 1).select(
+            F.col("src").alias("wsrc"), F.col("tok").cast("double").alias("weight"), ((F.col("pos") - 1) / 2).cast("int").alias("k")
+        )
+        e = nb.join(wt, (nb["src"] == wt["wsrc"]) & (nb["k"] == wt["k"])).select(
+            "src", "dst", "weight"
+        )
+    # each undirected edge appears in both endpoint lines → canonicalize
+    # with 'first' policy (weights are symmetric duplicates, not multi-edges)
+    return EdgeGraph(canonicalize(e, weighted_dedup="first"), directed=False, weighted=weighted)

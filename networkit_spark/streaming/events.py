@@ -1,0 +1,175 @@
+"""Dynamic graphs: event batches and incremental recompute.
+
+Reference model (``cpp/dynamics/GraphEvent.h:24-40``): an ordered stream
+of ``{NODE_ADDITION, NODE_REMOVAL, NODE_RESTORATION, EDGE_ADDITION,
+EDGE_REMOVAL, EDGE_WEIGHT_UPDATE, EDGE_WEIGHT_INCREMENT, TIME_STEP}``
+events with ``(u, v, w)`` payload; ``GraphUpdater``
+(``cpp/dynamics/GraphUpdater.h:19``) applies a batch to a ``Graph``;
+``Dyn*`` algorithms expose ``update(event)`` / ``updateBatch(events)``
+and are tested for equivalence with static recompute
+(``ConnectedComponentsGTest.cpp:257-328``).
+
+Spark mapping (SURVEY.md §2.11): the stream is an append-only event
+DataFrame partitioned by batch id.  Each batch = apply the edge deltas
+with union/anti-join (``apply_events``), then RESUME supersteps from the
+prior converged state (``incremental_components``) — the checkpointed
+superstep design is exactly what makes incremental recompute cheap;
+per-event stateful streaming (``flatMapGroupsWithState``) is not a fit
+because every event needs whole-graph joins.
+
+``streaming_hourly_counts`` covers the Structured Streaming surface
+proper (readStream → watermark → windowed agg → writeStream) for the
+append-only analytics the reference lacks but a Spark engine owes its
+users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import EdgeGraph, canonicalize
+
+EDGE_ADDITION = "EDGE_ADDITION"
+EDGE_REMOVAL = "EDGE_REMOVAL"
+EDGE_WEIGHT_UPDATE = "EDGE_WEIGHT_UPDATE"
+EDGE_WEIGHT_INCREMENT = "EDGE_WEIGHT_INCREMENT"
+
+EVENT_SCHEMA = "batch long, kind string, u long, v long, w double"
+
+
+def apply_events(graph: EdgeGraph, events: DataFrame) -> EdgeGraph:
+    """``GraphUpdater::update`` — apply one batch of edge events.
+
+    Events canonicalize to ``src <= dst`` like the edge table.  Semantics
+    per the reference: ADDITION appends (parallel additions sum),
+    REMOVAL deletes the edge, WEIGHT_UPDATE replaces w, WEIGHT_INCREMENT
+    adds w.  Node events are implicit (vertex set derives from edges).
+    """
+    ev = events.select(
+        "kind",
+        F.least("u", "v").alias("src"),
+        F.greatest("u", "v").alias("dst"),
+        F.col("w").cast("double"),
+    )
+    adds = canonicalize(
+        ev.where(F.col("kind") == EDGE_ADDITION).select("src", "dst", F.col("w").alias("weight"))
+    )
+    removes = ev.where(F.col("kind") == EDGE_REMOVAL).select("src", "dst").distinct()
+    updates = ev.where(F.col("kind") == EDGE_WEIGHT_UPDATE).select(
+        "src", "dst", F.col("w").alias("new_w")
+    )
+    incs = (
+        ev.where(F.col("kind") == EDGE_WEIGHT_INCREMENT)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("inc_w"))
+    )
+    e = graph.edges
+    e = e.join(removes, ["src", "dst"], "left_anti")
+    e = (
+        e.join(updates, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("new_w", "weight").alias("weight"))
+    )
+    e = (
+        e.join(incs, ["src", "dst"], "left")
+        .select("src", "dst", (F.col("weight") + F.coalesce("inc_w", F.lit(0.0))).alias("weight"))
+    )
+    e = canonicalize(e.unionByName(adds))
+    return EdgeGraph(e, graph.directed, graph.weighted)
+
+
+def incremental_components(
+    graph: EdgeGraph, prev_labels: DataFrame, events: DataFrame
+) -> tuple[EdgeGraph, DataFrame]:
+    """``DynConnectedComponents`` analog: apply the batch, then resume
+    min-label propagation from the previous fixpoint instead of from
+    singletons.
+
+    - EDGE_ADDITION may merge components: seed labels = previous labels
+      (new nodes start as singletons); propagation converges in
+      O(#merged-diameter) supersteps instead of O(graph diameter).
+    - EDGE_REMOVAL may split a component, which min-label propagation
+      cannot detect incrementally (labels only decrease) — batches
+      containing removals recompute the affected components from
+      singletons (the reference's DynCC similarly falls back to a BFS on
+      removal, ``DynConnectedComponents.cpp``).
+    Returns (new_graph, new_labels); equivalence with static recompute is
+    the test contract (``ConnectedComponentsGTest.cpp:257-328``).
+    """
+    from networkit_spark.operators.components import connected_components
+
+    new_graph = apply_events(graph, events)
+    has_removals = (
+        events.where(F.col("kind").isin(EDGE_REMOVAL)).limit(1).count() > 0
+    )
+    if has_removals:
+        # removals can split: recompute affected components from scratch
+        # (correct and simple; an affected-component-only recompute is the
+        # next optimization)
+        return new_graph, connected_components(new_graph, impl="sql")
+
+    verts = new_graph.vertices()
+    seeded = verts.join(prev_labels, verts["id"] == prev_labels["node"], "left").select(
+        F.col("id").alias("node"), F.coalesce("label", F.col("id")).alias("label")
+    )
+    # resume: min-label propagation with warm-start labels
+    labels = _propagate_from(new_graph, seeded)
+    return new_graph, labels
+
+
+def _propagate_from(graph: EdgeGraph, seed: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint from arbitrary seed labels
+    (labels only decrease ⇒ converges to per-component minimum)."""
+    sym = graph.sym().persist()
+    labels = seed.localCheckpoint(eager=True)
+    frontier = labels
+    while True:
+        msgs = frontier.select(F.col("node").alias("src"), F.col("label").alias("value"))
+        agg = (
+            sym.join(msgs, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("value").alias("agg"))
+        )
+        joined = labels.join(agg, "node", "left").select(
+            "node",
+            "label",
+            F.least("label", F.coalesce("agg", "label")).alias("label_new"),
+        ).localCheckpoint(eager=True)
+        frontier = joined.where(F.col("label_new") < F.col("label")).select(
+            "node", F.col("label_new").alias("label")
+        )
+        labels = joined.select("node", F.col("label_new").alias("label"))
+        if frontier.count() == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def streaming_hourly_counts(spark, source_dir: str, checkpoint_dir: str):
+    """Structured Streaming: readStream (parquet source) → 10-minute
+    watermark → 1-hour tumbling window per event_type → memory sink.
+    Late rows beyond the watermark are dropped from the aggregation —
+    the Spark-native stream surface (the reference has no
+    watermark/window concept)."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).parquet(source_dir)
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hourly_counts")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,70 @@
+"""Blob superstep engine (the PageRank fast path) — exact equivalence
+with the reference oracle, resume, and reuse."""
+
+import numpy as np
+import pytest
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.linkgraph.blobstep import PageRankBlobEngine, pagerank_blob
+
+from .conftest import edges_df
+from .oracles import pagerank_oracle
+from .test_pagerank import F1_EDGES, F1_GOLDEN
+
+
+def _scores(df, n):
+    rows = {r["node"]: r["rank"] for r in df.collect()}
+    return np.array([rows[i] for i in range(n)])
+
+
+def test_f1_golden_and_oracle(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    got = _scores(pagerank_blob(g, tol=1e-6, num_parts=4), 8)
+    assert np.allclose(got, F1_GOLDEN, atol=1e-4)
+    want = pagerank_oracle(8, F1_EDGES, tol=1e-6)
+    # chain_k may overshoot the reference stop by <k iterations; the
+    # perturbation is O(damp^k · tol) — far inside 1e-6
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_fixed_iters_exact(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    got = _scores(pagerank_blob(g, tol=1e-12, max_iter=24, num_parts=4), 8)
+    want = pagerank_oracle(8, F1_EDGES, tol=1e-12, max_iter=24)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_directed_dangling(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (5, 2)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges), directed=True)
+    got = _scores(pagerank_blob(g, tol=1e-12, max_iter=16, num_parts=4), 6)
+    want = pagerank_oracle(6, edges, tol=1e-12, max_iter=16, directed=True)
+    assert np.allclose(got, want, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_self_loops(spark):
+    edges = F1_EDGES + [(2, 2, 1.0), (6, 6, 2.5)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    got = _scores(pagerank_blob(g, tol=1e-12, max_iter=16, num_parts=4), 8)
+    want = pagerank_oracle(8, edges, tol=1e-12, max_iter=16)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_engine_reuse_and_attach(spark, tmp_path):
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    eng = PageRankBlobEngine(g, num_parts=4, blob_dir=str(tmp_path / "store"))
+    a = _scores(eng.run(tol=1e-12, max_iter=8), 8)
+    b = _scores(eng.run(tol=1e-12, max_iter=8), 8)  # reuse: same store
+    assert np.array_equal(a, b)
+    att = PageRankBlobEngine.attach(spark, str(tmp_path / "store"))
+    c = _scores(att.run(tol=1e-12, max_iter=8), 8)
+    assert np.array_equal(a, c)
+    eng.close()
+
+
+def test_partition_count_equivalence(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    a = _scores(pagerank_blob(g, tol=1e-12, max_iter=12, num_parts=2), 8)
+    b = _scores(pagerank_blob(g, tol=1e-12, max_iter=12, num_parts=8), 8)
+    assert np.allclose(a, b, atol=1e-12)
