@@ -141,7 +141,7 @@ def winnowing_fingerprints(
                 if n <= 0:
                     continue
                 # polynomial rolling hash, vectorized via stride tricks
-                weights = np.power(31, np.arange(k - 1, -1, -1), dtype=np.uint64)
+                weights = (31 ** np.arange(k - 1, -1, -1, dtype=np.uint64)).astype(np.uint64)
                 win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
                 h = (win * weights).sum(axis=1) & np.uint64(0x7FFFFFFF)
                 if len(h) >= window:

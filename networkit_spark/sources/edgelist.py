@@ -47,9 +47,9 @@ def read_edge_list(
     )
     parts = lines.select(F.split("line", separator).alias("p"))
     e = parts.select(
-        F.element_at("p", 1).alias("su"),
-        F.element_at("p", 2).alias("sv"),
-        F.coalesce(F.element_at("p", 3).cast("double"), F.lit(1.0)).alias("weight"),
+        F.try_element_at("p", F.lit(1)).alias("su"),
+        F.try_element_at("p", F.lit(2)).alias("sv"),
+        F.coalesce(F.try_element_at("p", F.lit(3)).cast("double"), F.lit(1.0)).alias("weight"),
     )
     if continuous:
         edges = e.select(

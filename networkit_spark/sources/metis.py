@@ -34,9 +34,9 @@ def read_metis(spark: SparkSession, path: str) -> EdgeGraph:
         F.split("line", r"\s+").alias("toks"),
     )
     if not weighted:
-        e = body.select(
-            "src", (F.explode("toks").cast("long") - 1).alias("dst")
-        ).withColumn("weight", F.lit(1.0))
+        e = body.select("src", F.explode("toks").alias("tok")).select(
+            "src", (F.col("tok").cast("long") - 1).alias("dst"), F.lit(1.0).alias("weight")
+        )
     else:
         # pairs (neighbor, weight): posexplode, even positions = neighbor
         ex = body.select("src", F.posexplode("toks").alias("pos", "tok"))

@@ -25,8 +25,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(extra: list[str], cpus: int, shuffle_parts: int | None = None) -> dict:
+def run_bench(extra: list[str], cpus: int) -> dict:
     env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--cpus", str(cpus)] + extra
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -39,8 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--synthetic", default="2000000,200000000")
-    ap.add_argument("--parts", type=int, default=32)
+    ap.add_argument("--synthetic", default="500000,800000000")
+    ap.add_argument("--prepare-cpus", type=int, default=16,
+                    help="parallelism for the one-time prepare; also sets P")
     args = ap.parse_args()
 
     blob_dir = tempfile.mkdtemp(prefix="nk_scaling_")
@@ -48,7 +50,7 @@ def main():
         print(f"preparing blob store ({args.synthetic}) ...", flush=True)
         prep = run_bench(
             ["--prepare-only", "--synthetic", args.synthetic, "--blob-dir", blob_dir],
-            cpus=4 * args.n,
+            cpus=args.prepare_cpus,
         )
         print(json.dumps(prep), flush=True)
 

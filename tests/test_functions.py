@@ -1,0 +1,130 @@
+"""Text / dedup / similarity / multimodal function tests (pytest side;
+the SQL-oracle equivalence runs in the driver gate)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text with zero overlap whatsoever here"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, ""),
+        (5, "el perro y el gato de la casa que los"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    assert got[0] == 9 and got[4] == 0 and got[5] == 10
+
+
+def test_quality_score(spark, docs):
+    rows = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert rows[4]["score"] == pytest.approx(0.2)  # empty: only punct term
+    assert rows[0]["n_tokens"] == 9
+    assert 0 <= rows[0]["stop_ratio"] <= 1
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert got[0] == "en" and got[5] == "es" and got[4] == "und"
+
+
+def test_exact_dups(spark, docs):
+    got = dedup.exact_dup_groups(docs).collect()
+    assert len(got) == 1
+    assert got[0]["dup_count"] == 2 and got[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # identical docs
+    assert (0, 1) in pairs  # near dup: 6/8 shared trigrams
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # LSH pairs are verified exactly, so lsh ⊆ exact; high-sim pairs recalled
+    assert lsh <= exact
+    assert (0, 3) in lsh
+
+
+def test_simhash(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(docs).collect()}
+    assert got[0] == got[3]  # identical docs → identical fingerprint
+    assert got[0] != got[2]
+    dup_pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_dup_pairs(docs).collect()}
+    assert (0, 3) in dup_pairs
+    # near-dup docs 0/1 differ in one token: hamming distance small
+    h = bin(got[0] ^ got[1]).count("1")
+    assert h <= 8
+
+
+def test_winnowing_fingerprints(spark, docs):
+    fp = text.winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] == by_doc[3]  # identical docs → identical fingerprint sets
+    inter01 = len(by_doc[0] & by_doc[1]) / len(by_doc[0] | by_doc[1])
+    inter02 = len(by_doc[0] & by_doc[2]) / len(by_doc[0] | by_doc[2])
+    assert inter01 > inter02  # near-dup overlaps more than unrelated
+
+
+@pytest.fixture()
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")  # near-dup of 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark, emb):
+    got = similarity.cosine_topk(emb, queries=emb.where(F.col("vec_id") == 0), k=3).collect()
+    assert got[0]["neighbor_id"] == 1 and got[0]["rank"] == 1
+    assert got[0]["sim"] > 0.99
+
+
+def test_lsh_topk_recall(spark, emb):
+    exact = similarity.cosine_topk(emb, k=3)
+    approx = similarity.lsh_topk(emb, k=3, num_planes=4, num_tables=8)
+    e1 = {(r["query_id"], r["neighbor_id"]) for r in exact.where("rank = 1").collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e1 & a) / len(e1)
+    assert recall >= 0.6  # 4-plane/8-table S-curve recalls most top-1s
+    # the engineered near-dup is always found
+    assert (0, 1) in a and (1, 0) in a
+
+
+def test_embedding_near_dups(spark, emb):
+    exact = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(emb, 0.98).collect()}
+    assert exact == {(0, 1)}
+    approx = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(emb, 0.98, exact=False).collect()}
+    assert (0, 1) in approx
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=8)
+    feats = multimodal.image_features(media).collect()
+    assert len(feats) == 8
+    assert all(0 <= r["brightness"] <= 255 for r in feats)
+    # determinism
+    again = multimodal.image_features(multimodal.synthetic_media(spark, n=8)).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+    frames = multimodal.frame_sample(media).collect()
+    assert len(frames) == 8 * 4  # 256-byte blobs / 64-byte windows
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)

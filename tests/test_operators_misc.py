@@ -1,0 +1,161 @@
+"""Tests: BFS/SSSP/diameter, k-core, link prediction, sparsification,
+coarsening, quality measures, spectral centralities, degree/ranking."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.operators.bfs import bfs, diameter_range, eccentricity, sssp
+from networkit_spark.operators.coarsening import coarsen_by_partition
+from networkit_spark.operators.degrees import assortativity, degree_centrality, ranking
+from networkit_spark.operators.kcore import core_decomposition
+from networkit_spark.operators.linkpred import link_prediction_scores, top_predictions
+from networkit_spark.operators.quality import (
+    compact,
+    coverage,
+    edge_cut,
+    modularity,
+    subset_sizes,
+)
+from networkit_spark.operators.sparsification import (
+    global_threshold_filter,
+    jaccard_score,
+    linearize_score,
+    local_degree_score,
+    normalize_score,
+    random_edge_score,
+    triangle_score,
+)
+from networkit_spark.operators.spectral import eigenvector_centrality, katz_centrality
+
+from .conftest import edges_df
+from .test_pagerank import F1_EDGES
+from .test_plp import CLUSTERED
+
+
+def test_bfs_distances(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (1, 4), (4, 5)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    d = {r["node"]: r["dist"] for r in bfs(g, 0).collect()}
+    assert d == {0: 0, 1: 1, 2: 2, 4: 2, 3: 3, 5: 3}
+    assert eccentricity(g, 0) == 3
+    lo, hi = diameter_range(g)
+    assert lo <= 4 <= hi  # true diameter 4 (3..5)
+
+
+def test_sssp_weighted(spark):
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 1.0)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    d = {r["node"]: r["dist"] for r in sssp(g, 0).collect()}
+    assert d == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_core_decomposition(spark):
+    # K4 plus a pendant: K4 nodes core 3, pendant core 1
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    cores = {r["node"]: r["core"] for r in core_decomposition(g).collect()}
+    assert cores == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1}
+
+
+def test_link_prediction(spark):
+    # path 0-1-2: pair (0,2) shares neighbor 1
+    edges = [(0, 1), (1, 2)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    scores = link_prediction_scores(g).collect()
+    assert len(scores) == 1
+    r = scores[0]
+    assert (r["u"], r["v"]) == (0, 2)
+    assert r["common_neighbors"] == 1
+    assert abs(r["jaccard"] - 1.0) < 1e-12  # |∩|/(1+1-1)
+    assert abs(r["adamic_adar"] - 1.0 / math.log(2)) < 1e-12
+    assert abs(r["resource_alloc"] - 0.5) < 1e-12
+    assert r["pref_attachment"] == 1
+    top = top_predictions(g, k=5).collect()
+    assert len(top) == 1
+
+
+def test_sparsification_scores(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)]))
+    ts = {(r["src"], r["dst"]): r["score"] for r in triangle_score(g).collect()}
+    assert ts[(0, 1)] == 1.0 and ts[(2, 3)] == 0.0
+    js = {(r["src"], r["dst"]): r["score"] for r in jaccard_score(g).collect()}
+    assert abs(js[(0, 1)] - 1.0 / 3.0) < 1e-12  # N(0)={1,2}, N(1)={0,2}: ∩=1, ∪=3
+    norm = normalize_score(triangle_score(g))
+    vals = [r["score"] for r in norm.collect()]
+    assert min(vals) == 0.0 and max(vals) == 1.0
+    lin = linearize_score(triangle_score(g)).collect()
+    assert {round(r["score"], 3) for r in lin} == {0.25, 0.5, 0.75, 1.0}
+    res = random_edge_score(g).collect()
+    assert all(0.0 <= r["score"] <= 1.0 for r in res)
+    lds = local_degree_score(g)
+    filtered = global_threshold_filter(g, lds, threshold=0.5)
+    assert 0 < filtered.num_edges() <= g.num_edges()
+    # threshold filter keeps exactly the qualifying edges
+    kept = global_threshold_filter(g, triangle_score(g), 1.0)
+    assert {(r["src"], r["dst"]) for r in kept.edges.collect()} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_coarsening(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 4 else 1) for i in range(8)], "node long, label long"
+    )
+    coarse, _ = coarsen_by_partition(g, labels)
+    rows = {(r["src"], r["dst"]): r["weight"] for r in coarse.edges.collect()}
+    # intra-block: 6 edges × 5.0 = 30 as self-loops; inter: 0.1
+    assert rows[(0, 0)] == 30.0 and rows[(1, 1)] == 30.0
+    assert abs(rows[(0, 1)] - 0.1) < 1e-12
+
+
+def test_quality_measures(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 4 else 1) for i in range(8)], "node long, label long"
+    )
+    cov = coverage(g, labels)
+    assert abs(cov - 60.0 / 60.1) < 1e-9
+    assert abs(edge_cut(g, labels) - 0.1) < 1e-12
+    q = modularity(g, labels)
+    assert 0.4 < q < 0.5  # two dense blocks: strong modularity
+    sizes = {r["label"]: r["size"] for r in subset_sizes(labels).collect()}
+    assert sizes == {0: 4, 1: 4}
+    cl = compact(
+        spark.createDataFrame([(0, 10), (1, 10), (2, 99)], "node long, label long")
+    )
+    assert {r["label"] for r in cl.collect()} == {0, 1}
+
+
+def test_spectral(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    ev = {r["node"]: r["score"] for r in eigenvector_centrality(g, tol=1e-8).collect()}
+    # numpy oracle
+    import numpy as np
+
+    A = np.zeros((8, 8))
+    for u, v, w in F1_EDGES:
+        A[u, v] = w
+        A[v, u] = w
+    vals, vecs = np.linalg.eigh(A)
+    lead = np.abs(vecs[:, np.argmax(vals)])
+    lead = lead / lead.max()
+    got = np.array([ev[i] for i in range(8)])
+    assert np.allclose(np.abs(got), lead, atol=1e-5)
+    kz = {r["node"]: r["score"] for r in katz_centrality(g, alpha=0.05, beta=0.1, tol=1e-10).collect()}
+    x = np.zeros(8)
+    for _ in range(2000):
+        x = 0.05 * A @ x + 0.1
+    x = x / np.linalg.norm(x)
+    assert np.allclose(np.array([kz[i] for i in range(8)]), x, atol=1e-6)
+
+
+def test_degree_and_ranking(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    sc = degree_centrality(g)
+    top = ranking(sc, k=2).collect()
+    assert top[0]["node"] == 2 and top[1]["node"] == 5  # deg 5 each; tie → node asc
+    a = assortativity(g)
+    assert -1.0 <= a <= 1.0

@@ -1,0 +1,76 @@
+"""Reader/writer tests — EdgeListReader/SNAP/KONECT/METIS semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.sources import (
+    read_edge_list,
+    read_konect,
+    read_metis,
+    read_snap,
+    write_edge_list,
+)
+from networkit_spark.sources.edgelist import read_partition, write_partition
+
+
+def test_edge_list_reader(spark, tmp_path):
+    p = tmp_path / "g.edgelist"
+    p.write_text("# comment\n0 1\n1 2 2.5\n\n2 0\n")
+    g = read_edge_list(spark, str(p))
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert rows == {(0, 1): 1.0, (1, 2): 2.5, (0, 2): 1.0}
+
+
+def test_edge_list_first_node_offset(spark, tmp_path):
+    p = tmp_path / "g1.edgelist"
+    p.write_text("1 2\n2 3\n")
+    g = read_edge_list(spark, str(p), first_node=1)
+    rows = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert rows == {(0, 1), (1, 2)}
+
+
+def test_edge_list_noncontinuous_ids(spark, tmp_path):
+    """String→node map path (EdgeListReader.h:69-72): densify ids."""
+    p = tmp_path / "g2.edgelist"
+    p.write_text("alice bob\nbob carol\n")
+    g = read_edge_list(spark, str(p), continuous=False)
+    assert g.num_nodes() == 3 and g.num_edges() == 2
+    keys = {r["key"] for r in g.id_map.collect()}
+    assert keys == {"alice", "bob", "carol"}
+    ids = {r["id"] for r in g.id_map.collect()}
+    assert ids == {0, 1, 2}
+
+
+def test_snap_and_konect(spark, tmp_path):
+    p = tmp_path / "s.txt"
+    p.write_text("# SNAP\n0\t1\n1\t2\n")
+    g = read_snap(spark, str(p))
+    assert g.directed and g.num_edges() == 2
+    k = tmp_path / "k.konect"
+    k.write_text("% konect\n1 2 3.0\n1 2 4.0\n2 3 1.0\n")
+    gk = read_konect(spark, str(k), multi_edge="sum")
+    rows = {(r["src"], r["dst"]): r["weight"] for r in gk.edges.collect()}
+    assert rows[(1, 2)] == 7.0 and rows[(2, 3)] == 1.0
+
+
+def test_metis_reader(spark, tmp_path):
+    # 4-node path graph 0-1-2-3 in METIS (1-based neighbor lists)
+    p = tmp_path / "g.graph"
+    p.write_text("% metis\n4 3\n2\n1 3\n2 4\n3\n")
+    g = read_metis(spark, str(p))
+    rows = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert rows == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_writers_roundtrip(spark, tmp_path):
+    p = tmp_path / "g.edgelist"
+    p.write_text("0 1 2.0\n1 2 3.0\n")
+    g = read_edge_list(spark, str(p))
+    out = tmp_path / "out"
+    write_edge_list(g, str(out))
+    g2 = read_edge_list(spark, str(out), separator="\t")
+    assert sorted(map(tuple, g2.edges.collect())) == sorted(map(tuple, g.edges.collect()))
+    labels = spark.createDataFrame([(0, 0), (1, 0), (2, 2)], "node long, label long")
+    write_partition(labels, str(tmp_path / "part"))
+    back = read_partition(spark, str(tmp_path / "part"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, labels.collect()))

@@ -1,0 +1,88 @@
+"""Dynamic-graph events + Structured Streaming tests.
+
+Contract from the reference: dynamic vs static recompute equivalence
+(ConnectedComponentsGTest.cpp:257-328)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.operators.components import connected_components
+from networkit_spark.streaming.events import (
+    EDGE_ADDITION,
+    EDGE_REMOVAL,
+    EDGE_WEIGHT_INCREMENT,
+    EDGE_WEIGHT_UPDATE,
+    EVENT_SCHEMA,
+    apply_events,
+    incremental_components,
+    streaming_hourly_counts,
+)
+
+from .conftest import edges_df
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_apply_events(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0)]))
+    ev = _ev(
+        spark,
+        [
+            (0, EDGE_ADDITION, 3, 4, 1.5),
+            (0, EDGE_REMOVAL, 0, 1, 0.0),
+            (0, EDGE_WEIGHT_UPDATE, 1, 2, 9.0),
+            (0, EDGE_WEIGHT_INCREMENT, 2, 3, 0.5),
+        ],
+    )
+    g2 = apply_events(g, ev)
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert rows == {(1, 2): 9.0, (2, 3): 1.5, (3, 4): 1.5}
+
+
+def test_incremental_cc_matches_static(spark):
+    base = [(0, 1), (2, 3), (4, 5)]
+    g = EdgeGraph.from_edges(edges_df(spark, base))
+    labels0 = connected_components(g, impl="sql")
+    # batch 1: merge components 0-1 and 2-3
+    ev1 = _ev(spark, [(1, EDGE_ADDITION, 1, 2, 1.0)])
+    g1, l1 = incremental_components(g, labels0, ev1)
+    static1 = connected_components(g1, impl="sql")
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, static1.collect()))
+    # batch 2: removal → split path triggers recompute
+    ev2 = _ev(spark, [(2, EDGE_REMOVAL, 1, 2, 0.0)])
+    g2, l2 = incremental_components(g1, l1, ev2)
+    static2 = connected_components(g2, impl="sql")
+    assert sorted(map(tuple, l2.collect())) == sorted(map(tuple, static2.collect()))
+
+
+def test_structured_streaming_windowed(spark, tmp_path):
+    """readStream → watermark → 1h tumbling window → memory sink."""
+    src = str(tmp_path / "events_src")
+    ck = str(tmp_path / "ck")
+    ev = spark.createDataFrame(
+        [
+            (0, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 00:50:00", 2, "click", 2.0, "{}"),
+            (2, "2024-01-01 01:10:00", 1, "buy", 5.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    q = streaming_hourly_counts(spark, src, ck)
+    try:
+        q.processAllAvailable()
+        out = {
+            (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("select * from hourly_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert out[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 01:00:00", "buy")] == (1, 5.0)
