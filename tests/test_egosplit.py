@@ -1,0 +1,52 @@
+"""Ego-splitting tests — overlapping community recovery (the fork's
+flagship, EgoSplitting.h:31-60)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.operators.egosplit import cover_f1, ego_splitting
+
+from .conftest import edges_df
+
+# two triangles sharing node 0: communities {0,1,2} and {0,3,4} overlap at 0
+BOWTIE = [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (0, 4)]
+
+
+def test_bowtie_overlap(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, BOWTIE))
+    cover = ego_splitting(g)
+    rows = {}
+    for r in cover.collect():
+        rows.setdefault(r["node"], set()).add(r["label"])
+    # node 0 belongs to two communities; others to one
+    assert len(rows[0]) == 2
+    assert all(len(rows[v]) == 1 for v in (1, 2, 3, 4))
+    # the two communities are exactly the triangles
+    comm = {}
+    for r in cover.collect():
+        comm.setdefault(r["label"], set()).add(r["node"])
+    assert sorted(map(sorted, comm.values())) == [[0, 1, 2], [0, 3, 4]]
+
+
+def test_cover_f1(spark):
+    g = EdgeGraph.from_edges(edges_df(spark, BOWTIE))
+    cover = ego_splitting(g)
+    truth = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (0, 1), (3, 1), (4, 1)], "node long, label long"
+    )
+    assert cover_f1(cover, truth) == pytest.approx(1.0)
+
+
+def test_clustered_blocks_with_bridge_overlap(spark):
+    # two K4 blocks joined through a shared node 3-4 bridge edge: every
+    # node still lands in >=1 community and the cover spans the node set
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7),
+        (3, 4),
+    ]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    cover = ego_splitting(g)
+    nodes = {r["node"] for r in cover.collect()}
+    assert nodes == set(range(8))

@@ -61,3 +61,30 @@ def test_f7_partition_equivalence(spark, impl):
     a = _labels(plp(g, max_iter=6, impl=impl, num_parts=2), 8)
     b = _labels(plp(g, max_iter=6, impl=impl, num_parts=8), 8)
     assert np.array_equal(a, b)
+
+
+def test_plm_two_communities(spark):
+    """PLM (multilevel Louvain) on the clustered fixture → 2 communities
+    with near-optimal modularity (PLM.cpp semantics)."""
+    from networkit_spark.operators.louvain import plm
+    from networkit_spark.operators.quality import modularity
+
+    g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
+    labels = plm(g)
+    got = _labels(labels, 8)
+    assert len(set(got[:4])) == 1 and len(set(got[4:])) == 1 and got[0] != got[4]
+    q = modularity(g, labels)
+    assert q > 0.45
+
+
+def test_plm_deterministic_across_partitions(spark):
+    from networkit_spark.operators.louvain import plm
+
+    g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
+    a = _labels(plm(g), 8)
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = _labels(plm(g), 8)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert np.array_equal(a, b)
