@@ -232,6 +232,141 @@ def _q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), k=5)
 
 
+# ---- additional graph operators ------------------------------------------
+
+
+def _q_linkpred(spark, sf_dir):
+    """Link-prediction indices over distance-2 non-edges (top candidates
+    only — full set is large; deterministic top-500 by jaccard)."""
+    from networkit_spark.operators.linkpred import link_prediction_scores
+    from pyspark.sql.window import Window
+
+    g = tpch_link_graph(spark, sf_dir)
+    s = link_prediction_scores(g, only_missing=True).select(
+        "u", "v", "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_alloc", 6).alias("resource_alloc"),
+        "pref_attachment",
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+    return s.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 500)
+
+
+def _q_modularity_kind(spark, sf_dir):
+    """Modularity of the customer/part/supplier partition (scalar)."""
+    from networkit_spark.operators.quality import modularity
+
+    g = tpch_link_graph(spark, sf_dir)
+    kind = g.vertices().select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") < 1_000_000, F.lit(0))
+        .when(F.col("id") < 2_000_000, F.lit(1))
+        .otherwise(F.lit(2)).cast("long").alias("label"),
+    )
+    q = modularity(g, kind)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def _q_bfs(spark, sf_dir):
+    """Hop distances from the minimum customer node (BFS, §2.7)."""
+    from networkit_spark.operators.bfs import bfs
+
+    g = tpch_link_graph(spark, sf_dir)
+    src = g.vertices().agg(F.min("id")).collect()[0][0]
+    return bfs(g, src)
+
+
+def _q_kcore(spark, sf_dir):
+    """Core decomposition (iterative peel) — rows-only (no ANSI-SQL
+    fixpoint); exactness pytest-verified on golden fixtures."""
+    from networkit_spark.operators.kcore import core_decomposition
+
+    g = tpch_link_graph(spark, sf_dir)
+    return core_decomposition(g)
+
+
+def _q_plm(spark, sf_dir):
+    """PLM multilevel Louvain — rows-only; invariants + modularity bound
+    pytest-verified."""
+    from networkit_spark.operators.louvain import plm
+
+    g = tpch_link_graph(spark, sf_dir)
+    return plm(g, max_sweeps=8, max_levels=3)
+
+
+def _q_egosplit(spark, sf_dir):
+    """Ego-splitting overlapping cover — rows-only; exact overlap
+    recovery pytest-verified on golden fixtures."""
+    from networkit_spark.operators.egosplit import ego_splitting
+
+    g = tpch_link_graph(spark, sf_dir)
+    return ego_splitting(g)
+
+
+def _q_katz(spark, sf_dir):
+    """Katz centrality (power iteration) — rows-only."""
+    from networkit_spark.operators.spectral import katz_centrality
+
+    g = tpch_link_graph(spark, sf_dir)
+    return katz_centrality(g, alpha=1e-3, beta=0.1, tol=1e-6, max_iter=30).select(
+        "node", F.round("score", 6).alias("score")
+    )
+
+
+def _q_doc_bpe_count(spark, sf_dir):
+    return text.bpe_ish_token_count(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints — rows-only (rolling-hash windows are not
+    ANSI-SQL); NumPy-oracle pytest-verified."""
+    return text.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary media → Arrow-batched
+    feature extraction (stub decoder) — rows-only, determinism
+    pytest-verified."""
+    from networkit_spark.functions import multimodal
+
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.image_features(media)
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the classic
+    event-stream window op, expressed with lag + running sum."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("brk"),
+        "event_id",
+    )
+    s = o.withColumn(
+        "sess",
+        F.sum("brk").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("ts").cast("long")).alias("start_epoch"),
+    )
+
+
 # ---- events ---------------------------------------------------------------
 
 
@@ -271,6 +406,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": _q_near_dups,
         "emb_lsh_topk": _q_lsh_topk,
         "events_hourly": _q_events_hourly,
+        "graph_linkpred": _q_linkpred,
+        "graph_modularity_kind": _q_modularity_kind,
+        "graph_bfs": _q_bfs,
+        "graph_kcore": _q_kcore,
+        "graph_plm": _q_plm,
+        "graph_egosplit": _q_egosplit,
+        "graph_katz": _q_katz,
+        "doc_bpe_count": _q_doc_bpe_count,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "media_features": _q_media_features,
+        "events_sessions": _q_events_sessions,
     }
 
 
@@ -506,5 +652,76 @@ WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "graph_linkpred": f"""
+WITH {_GRAPH_CTES},
+e AS (SELECT src, dst FROM edges),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+wed AS (
+  SELECT a.v AS z, a.u AS u, b.u AS v
+  FROM (SELECT v, u FROM sym) a JOIN (SELECT v, u FROM sym) b ON a.v = b.v
+  WHERE a.u < b.u
+),
+inter AS (
+  SELECT w.u, w.v, COUNT(*) AS common_neighbors,
+         SUM(1.0 / LN(dz.deg)) AS aa, SUM(1.0 / dz.deg) AS ra
+  FROM wed w JOIN deg dz ON w.z = dz.node
+  GROUP BY w.u, w.v
+),
+scored AS (
+  SELECT i.u, i.v, i.common_neighbors,
+         ROUND(CAST(i.common_neighbors AS DOUBLE) / (du.deg + dv.deg - i.common_neighbors), 6) AS jaccard,
+         ROUND(i.aa, 6) AS adamic_adar, ROUND(i.ra, 6) AS resource_alloc,
+         CAST(du.deg * dv.deg AS BIGINT) AS pref_attachment
+  FROM inter i JOIN deg du ON i.u = du.node JOIN deg dv ON i.v = dv.node
+  LEFT JOIN e ON i.u = e.src AND i.v = e.dst
+  WHERE e.src IS NULL
+)
+SELECT u, v, common_neighbors, jaccard, adamic_adar, resource_alloc, pref_attachment, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC) AS rnk FROM scored)
+WHERE rnk <= 500
+""",
+        "graph_modularity_kind": f"""
+WITH {_GRAPH_CTES},
+loopw AS (SELECT u, v, w, CASE WHEN u = v THEN w ELSE 0 END AS lw FROM sym),
+vol AS (SELECT u AS node, SUM(w) + SUM(lw) AS vol FROM loopw GROUP BY u),
+lab AS (SELECT node, CASE WHEN node < 1000000 THEN 0 WHEN node < 2000000 THEN 1 ELSE 2 END AS label FROM nodes),
+cvol AS (SELECT l.label, SUM(v.vol) AS cvol FROM vol v JOIN lab l ON v.node = l.node GROUP BY l.label),
+twom AS (SELECT SUM(vol) AS m2 FROM vol),
+cov AS (
+  SELECT SUM(CASE WHEN la.label = lb.label THEN e.weight ELSE 0 END) / SUM(e.weight) AS coverage
+  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
+),
+expd AS (SELECT SUM(cvol * cvol) / ((SELECT m2 FROM twom) * (SELECT m2 FROM twom)) AS expected FROM cvol)
+SELECT ROUND((SELECT coverage FROM cov) - (SELECT expected FROM expd), 6) AS modularity
+""",
+        "graph_bfs": f"""
+WITH RECURSIVE {_GRAPH_CTES},
+srcn AS (SELECT MIN(node) AS s FROM nodes),
+reach(node, dist) AS (
+  SELECT s, CAST(0 AS BIGINT) FROM srcn
+  UNION
+  SELECT sy.v, r.dist + 1
+  FROM reach r JOIN sym sy ON sy.u = r.node
+  WHERE r.dist < 30
+)
+SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+""",
+        "doc_bpe_count": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_pieces
+FROM documents
+""",
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+              WHEN CAST(epoch(ts) AS BIGINT) - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) > 1800 THEN 1
+              ELSE 0 END AS brk
+  FROM events
+),
+s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o)
+SELECT user_id, sess, COUNT(*) AS n, CAST(epoch(MIN(ts)) AS BIGINT) AS start_epoch
+FROM s GROUP BY user_id, sess
 """,
     }
