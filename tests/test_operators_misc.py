@@ -159,3 +159,13 @@ def test_degree_and_ranking(spark):
     assert top[0]["node"] == 2 and top[1]["node"] == 5  # deg 5 each; tie → node asc
     a = assortativity(g)
     assert -1.0 <= a <= 1.0
+
+
+def test_core_decomposition_hindex_equiv(spark):
+    from networkit_spark.operators.kcore import core_decomposition_hindex
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    peel = {r["node"]: r["core"] for r in core_decomposition(g).collect()}
+    hix = {r["node"]: r["core"] for r in core_decomposition_hindex(g).collect()}
+    assert peel == hix
