@@ -1,0 +1,104 @@
+"""Partition similarity, generators, ANF tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.operators.anf import (
+    effective_diameter_approx,
+    neighborhood_function_approx,
+)
+from networkit_spark.operators.generators import (
+    chung_lu,
+    erdos_renyi,
+    rmat,
+    watts_strogatz,
+)
+from networkit_spark.operators.partition_similarity import (
+    adjusted_rand,
+    jaccard_measure,
+    nmi,
+    rand_index,
+)
+
+from .conftest import edges_df
+
+
+def _part(spark, assign):
+    return spark.createDataFrame(
+        [(i, l) for i, l in enumerate(assign)], "node long, label long"
+    )
+
+
+def test_partition_similarity_identical(spark):
+    a = _part(spark, [0, 0, 1, 1, 2, 2])
+    b = _part(spark, [5, 5, 7, 7, 9, 9])  # same grouping, different ids
+    assert rand_index(a, b) == pytest.approx(1.0)
+    assert adjusted_rand(a, b) == pytest.approx(1.0)
+    assert jaccard_measure(a, b) == pytest.approx(1.0)
+    assert nmi(a, b) == pytest.approx(1.0)
+
+
+def test_partition_similarity_disjoint(spark):
+    a = _part(spark, [0, 0, 0, 0])  # one block
+    b = _part(spark, [0, 1, 2, 3])  # singletons
+    assert rand_index(a, b) == pytest.approx(0.0)
+    assert jaccard_measure(a, b) == pytest.approx(0.0)
+    # ARI of one-vs-singletons is 0 by construction
+    assert adjusted_rand(a, b) == pytest.approx(0.0)
+
+
+def test_partition_similarity_known_value(spark):
+    # sklearn-verifiable example
+    a = _part(spark, [0, 0, 1, 1])
+    b = _part(spark, [0, 0, 0, 1])
+    # pairs: together in a = {01, 23}=2; in b = {01,02,12}=3; both = {01}=1
+    # rand = (C(4,2) + 2*1 - 2 - 3)/C(4,2) = (6+2-5)/6 = 0.5
+    assert rand_index(a, b) == pytest.approx(0.5)
+    assert jaccard_measure(a, b) == pytest.approx(1.0 / 4.0)
+
+
+def test_erdos_renyi_deterministic(spark):
+    g1 = erdos_renyi(spark, 40, 0.1)
+    g2 = erdos_renyi(spark, 40, 0.1)
+    assert sorted(map(tuple, g1.edges.collect())) == sorted(map(tuple, g2.edges.collect()))
+    m = g1.num_edges()
+    assert 40 < m < 120  # E[m] = C(40,2)*0.1 = 78
+
+
+def test_chung_lu_expected_degrees(spark):
+    w = [10.0] * 5 + [1.0] * 45
+    g = chung_lu(spark, w)
+    deg = {r["node"]: r["deg"] for r in g.degrees().collect()}
+    heavy = sum(deg.get(i, 0) for i in range(5)) / 5
+    light = sum(deg.get(i, 0) for i in range(5, 50)) / 45
+    assert heavy > 2 * light
+
+
+def test_watts_strogatz(spark):
+    g = watts_strogatz(spark, 30, 2, 0.1)
+    # ring base: ~2 edges per node (minus rewiring collisions)
+    assert 45 <= g.num_edges() <= 60
+    d = g.degrees().agg(F.avg("deg")).collect()[0][0]
+    assert 3.0 <= d <= 4.5
+
+
+def test_rmat_skew(spark):
+    g = rmat(spark, scale=8, edge_factor=8)
+    deg = [r["deg"] for r in g.degrees().orderBy(F.desc("deg")).collect()]
+    assert deg[0] > 4 * (sum(deg) / len(deg))  # hubby top node
+    # determinism
+    g2 = rmat(spark, scale=8, edge_factor=8)
+    assert g2.num_edges() == g.num_edges()
+
+
+def test_anf_path_graph(spark):
+    edges = [(i, i + 1) for i in range(9)]
+    from networkit_spark.graph import EdgeGraph
+
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    nf = neighborhood_function_approx(g, max_h=12, num_trials=24)
+    # monotone non-decreasing estimates
+    ests = [e for _, e in nf]
+    assert all(b >= a * 0.99 for a, b in zip(ests, ests[1:]))
+    ed = effective_diameter_approx(g, ratio=0.9, max_h=12, num_trials=24)
+    assert 4 <= ed <= 10  # true eff. diameter ~8 on a 10-node path
