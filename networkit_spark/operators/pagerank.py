@@ -57,8 +57,15 @@ def pagerank(
     prepared: PreparedGraph | None = None,
     num_parts: int | None = None,
     hub_cap: int = 1 << 20,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
-    """Return ``(node: long, rank: double)``, Σ rank = 1."""
+    """Return ``(node: long, rank: double)``, Σ rank = 1.
+
+    ``init_ranks`` (node, rank): warm-start for incremental recompute
+    (``DynKatzCentrality``-style Dyn* surface) — the power iteration
+    converges to the same fixpoint from any positive start, so warm
+    starts after a small event batch need few supersteps; new nodes
+    default to 1/n."""
     spark = graph.spark
     ckpt = checkpointer or Checkpointer()
     n = graph.num_nodes()
@@ -101,7 +108,12 @@ def pagerank(
         it, state = resumed
     else:
         it = 0
-        state = vbase.select("node", F.lit(1.0 / n).alias("rank"), "invw")
+        if init_ranks is not None:
+            state = vbase.join(init_ranks, "node", "left").select(
+                "node", F.coalesce("rank", F.lit(1.0 / n)).alias("rank"), "invw"
+            )
+        else:
+            state = vbase.select("node", F.lit(1.0 / n).alias("rank"), "invw")
         state = ckpt.step(state, 0, rows=n, force_durable=False)
 
     teleport = (1.0 - damp) / n

@@ -144,6 +144,26 @@ def _propagate_from(graph: EdgeGraph, seed: DataFrame) -> DataFrame:
     return labels
 
 
+def incremental_pagerank(
+    graph: EdgeGraph,
+    prev_ranks: DataFrame,
+    events: DataFrame,
+    damp: float = 0.85,
+    tol: float = 1e-8,
+) -> tuple[EdgeGraph, DataFrame]:
+    """Dyn* PageRank: apply the event batch, then resume the power
+    iteration warm-started from the previous converged ranks — after a
+    small batch the fixpoint is nearby, so convergence takes a handful
+    of supersteps instead of O(100) (the checkpointed-superstep design's
+    incremental payoff; equivalence with cold recompute is the test
+    contract, mirroring ``ConnectedComponentsGTest.cpp:257-328``)."""
+    from networkit_spark.operators.pagerank import pagerank
+
+    new_graph = apply_events(graph, events)
+    ranks = pagerank(new_graph, damp=damp, tol=tol, impl="sql", init_ranks=prev_ranks)
+    return new_graph, ranks
+
+
 def streaming_hourly_counts(spark, source_dir: str, checkpoint_dir: str):
     """Structured Streaming: readStream (parquet source) → 10-minute
     watermark → 1-hour tumbling window per event_type → memory sink.

@@ -86,3 +86,31 @@ def test_structured_streaming_windowed(spark, tmp_path):
         q.stop()
     assert out[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert out[("2024-01-01 01:00:00", "buy")] == (1, 5.0)
+
+
+def test_incremental_pagerank_matches_cold(spark):
+    """Warm-started Dyn* PageRank converges to the cold-recompute
+    fixpoint (unique fixed point of the affine contraction)."""
+    import numpy as np
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.streaming.events import incremental_pagerank
+
+    base = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)]
+    g = EdgeGraph.from_edges(edges_df(spark, base))
+    r0 = pagerank(g, tol=1e-10, impl="sql")
+    ev = _ev(spark, [(1, EDGE_ADDITION, 1, 3, 2.0)])
+    g2, warm = incremental_pagerank(g, r0, ev, tol=1e-10)
+    cold = pagerank(g2, tol=1e-10, impl="sql")
+    w = {r["node"]: r["rank"] for r in warm.collect()}
+    c = {r["node"]: r["rank"] for r in cold.collect()}
+    assert all(abs(w[i] - c[i]) < 1e-6 for i in range(4))
+
+
+def test_overview(spark):
+    from networkit_spark.operators.profiling import overview
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (0, 2), (3, 4)]))
+    o = overview(g)
+    assert o["nodes"] == 5 and o["edges"] == 4 and o["components"] == 2
+    assert o["max_degree"] == 2 and o["self_loops"] == 0
+    assert o["global_clustering"] > 0
