@@ -58,7 +58,7 @@ def run_headline(spark, sf_dir: str) -> dict:
 
     # one prepared (hub-salted, CSR-partitioned) graph shared by the
     # iterative kernels — mirrors production, where prepare() runs once
-    prep_s, prepared = timed(lambda: prepare(g.sym(), blob_dir=True))
+    prep_s, prepared = timed(lambda: prepare(g.sym()))  # cogroup gather: faster for CC/PLP at this scale
     results["prepare"] = round(prep_s, 3)
 
     from networkit_spark.linkgraph.blobstep import PageRankBlobEngine
