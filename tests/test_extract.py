@@ -74,3 +74,23 @@ def test_tpch_link_graph(spark):
     )
     got = {r["k"] for r in kinds.distinct().collect()}
     assert got == {"c", "p", "s"}
+
+
+def test_source_table_to_pagerank_e2e(spark):
+    """North-rule end-to-end slice: synthetic Iceberg-shaped source table
+    → typed link graph → blob-engine PageRank → scores match the sql
+    implementation (same fixpoint)."""
+    import numpy as np
+    from networkit_spark.operators.pagerank import pagerank
+
+    t = source_files(spark, num_repos=12, max_files=40)
+    g, vertices = extract_link_graph(t)
+    fast = {r["node"]: r["rank"] for r in pagerank(g, tol=1e-8, impl="blob").collect()}
+    ref = {r["node"]: r["rank"] for r in pagerank(g, tol=1e-8, impl="sql").collect()}
+    assert set(fast) == set(ref)
+    assert all(abs(fast[k] - ref[k]) < 1e-6 for k in ref)
+    # the power-law hub repo ranks top-5 among repo nodes
+    repo_ids = {r["id"] for r in vertices.where("kind = 'r'").collect()}
+    hub = vertices.where("kind = 'r' and key = 'repo00000'").collect()[0]["id"]
+    top5 = sorted(((v, k) for k, v in fast.items() if k in repo_ids), reverse=True)[:5]
+    assert hub in {k for _, k in top5}
