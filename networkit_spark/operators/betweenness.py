@@ -1,0 +1,135 @@
+"""Betweenness centrality — Brandes accumulation as level-synchronous
+supersteps.
+
+Reference: exact ``Betweenness`` (Brandes, ``cpp/centrality/
+Betweenness.h:18``, 140 LoC) and the sampled ``EstimateBetweenness``
+(mean dependency of k sampled sources scaled by n/k,
+``cpp/centrality/EstimateBetweenness.cpp``).
+
+Spark shape per source s (unweighted):
+
+1. forward BFS by levels: ``dist``, and σ (shortest-path counts)
+   accumulated per level as ``σ(v) = Σ σ(u)`` over edges from the
+   previous level — a frontier join + groupBy;
+2. backward sweep from the deepest level: dependency
+   ``δ(u) += σ(u)/σ(w) · (1 + δ(w))`` over edges (u at l, w at l+1) —
+   one join + groupBy per level;
+3. ``BC(v) += δ(v)`` for v ≠ s.
+
+Cost: O(diameter) supersteps per source — exact betweenness is n
+sources (fixture-scale only); the scale path samples k sources
+(deterministic hash order) like the reference's EstimateBetweenness.
+Divide-by-two for undirected graphs matches the reference
+(``Betweenness.cpp`` normalization of symmetric pair counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import EdgeGraph
+
+
+def _brandes_single_source(sym: DataFrame, vertices: DataFrame, source: int) -> DataFrame:
+    """(node, delta) — dependency of `source` on every other node."""
+    spark = sym.sparkSession
+    # forward: levels with sigma
+    levels = [
+        spark.createDataFrame([(int(source), 1.0)], "node long, sigma double")
+        .localCheckpoint(eager=True)
+    ]
+    seen = levels[0].select("node")
+    while True:
+        frontier = levels[-1]
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .join(seen.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("node")).localCheckpoint(eager=True)
+    # backward: delta per level
+    delta = levels[-1].select("node", F.lit(0.0).alias("delta")).localCheckpoint(eager=True)
+    acc = [delta]
+    for l in range(len(levels) - 2, -1, -1):
+        upper = acc[-1].join(levels[l + 1], "node")  # (node=w, delta, sigma_w)
+        contrib = (
+            sym.join(
+                upper.select(
+                    F.col("node").alias("dst"),
+                    ((1.0 + F.col("delta")) / F.col("sigma")).alias("f"),
+                ),
+                "dst",
+            )
+            .join(levels[l].withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("f") * F.col("sigma")).alias("delta"))
+        )
+        lev_delta = (
+            levels[l]
+            .select("node")
+            .join(contrib, "node", "left")
+            .select("node", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        acc.append(lev_delta)
+    out = acc[0]
+    for a in acc[1:]:
+        out = out.unionByName(a)
+    return out.where(F.col("node") != source)
+
+
+def betweenness(
+    graph: EdgeGraph,
+    sources: list[int] | None = None,
+    nsamples: int | None = None,
+    normalized: bool = False,
+) -> DataFrame:
+    """(node, score).  All sources → exact Brandes; ``nsamples`` →
+    EstimateBetweenness (scaled by n/k).  Undirected scores halved."""
+    sym = graph.sym().select("src", "dst").persist()
+    vertices = graph.vertices().persist()
+    n = graph.num_nodes()
+    all_nodes = [r["id"] for r in vertices.orderBy("id").collect()]
+    if sources is None:
+        if nsamples is not None and nsamples < n:
+            # deterministic sample: hash order (reference samples uniformly
+            # with its seeded RNG; we fix the xxhash order)
+            import hashlib
+
+            ranked = sorted(
+                all_nodes,
+                key=lambda v: hashlib.md5(f"bw:{v}".encode()).hexdigest(),
+            )
+            sources = ranked[:nsamples]
+        else:
+            sources = all_nodes
+    total = None
+    for s in sources:
+        d = _brandes_single_source(sym, vertices, s)
+        total = d if total is None else (
+            total.unionByName(d).groupBy("node").agg(F.sum("delta").alias("delta"))
+        )
+        total = total.localCheckpoint(eager=True)
+    scale = 1.0
+    if not graph.directed:
+        scale *= 0.5
+    if nsamples is not None and len(sources) < n:
+        scale *= n / len(sources)
+    if normalized:
+        denom = (n - 1) * (n - 2) if graph.directed else (n - 1) * (n - 2)
+        scale /= max(denom, 1)
+    out = (
+        vertices.join(total, vertices["id"] == total["node"], "left")
+        .select(
+            vertices["id"].alias("node"),
+            (F.coalesce("delta", F.lit(0.0)) * scale).alias("score"),
+        )
+    )
+    sym.unpersist()
+    vertices.unpersist()
+    return out

@@ -167,3 +167,43 @@ def lcc_oracle(n, edges):
         if deg[v] >= 2:
             out[v] = 2.0 * per_node[v] / (deg[v] * (deg[v] - 1))
     return out
+
+
+def betweenness_oracle(n, edges, directed=False):
+    """Brandes exact betweenness (unweighted); undirected halved —
+    cpp/centrality/Betweenness.cpp."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {i: [] for i in range(n)}
+    for e in edges:
+        u, v = int(e[0]), int(e[1])
+        if u == v:
+            continue
+        adj[u].append(v)
+        if not directed:
+            adj[v].append(u)
+    bc = np.zeros(n)
+    for s in range(n):
+        sigma = np.zeros(n); sigma[s] = 1
+        dist = np.full(n, -1); dist[s] = 0
+        order = []
+        q = deque([s])
+        preds: dict[int, list[int]] = {i: [] for i in range(n)}
+        while q:
+            u = q.popleft(); order.append(u)
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if not directed:
+        bc /= 2
+    return bc

@@ -67,3 +67,33 @@ def test_long_path(spark):
     g = EdgeGraph.from_edges(edges_df(spark, edges))
     labels = connected_components(g, impl="sql")
     assert {r["label"] for r in labels.collect()} == {0}
+
+
+def test_scc(spark):
+    """Directed SCC via coloring; grouping compared up to relabeling
+    (SCC fixture pattern of ConnectedComponentsGTest.cpp:149-190)."""
+    from networkit_spark.operators.scc import strongly_connected_components
+
+    # cycle {0,1,2}, cycle {3,4}, chain node 5, self node 6
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5), (6, 0)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges), directed=True)
+    labels = {r["node"]: r["label"] for r in strongly_connected_components(g).collect()}
+    assert len(labels) == 7
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert labels[0] != labels[3]
+    assert len({labels[5]}) == 1 and labels[5] not in (labels[0], labels[3])
+    assert labels[6] not in (labels[0], labels[3], labels[5])
+
+
+def test_scc_full_cycle_and_dag(spark):
+    from networkit_spark.operators.scc import strongly_connected_components
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    g = EdgeGraph.from_edges(edges_df(spark, cyc), directed=True)
+    labels = {r["label"] for r in strongly_connected_components(g).collect()}
+    assert len(labels) == 1
+    dag = [(0, 1), (1, 2), (0, 2)]
+    g2 = EdgeGraph.from_edges(edges_df(spark, dag), directed=True)
+    labels2 = {r["node"]: r["label"] for r in strongly_connected_components(g2).collect()}
+    assert len(set(labels2.values())) == 3  # every node its own SCC

@@ -169,3 +169,25 @@ def test_core_decomposition_hindex_equiv(spark):
     peel = {r["node"]: r["core"] for r in core_decomposition(g).collect()}
     hix = {r["node"]: r["core"] for r in core_decomposition_hindex(g).collect()}
     assert peel == hix
+
+
+def test_betweenness_exact(spark):
+    from networkit_spark.operators.betweenness import betweenness
+    from .oracles import betweenness_oracle
+
+    # diamond + tail: nontrivial bridging scores
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    got = {r["node"]: r["score"] for r in betweenness(g).collect()}
+    want = betweenness_oracle(6, edges)
+    for v in range(6):
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_betweenness_sampled_scales(spark):
+    from networkit_spark.operators.betweenness import betweenness
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]  # path: node 2 is central
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    est = {r["node"]: r["score"] for r in betweenness(g, nsamples=3).collect()}
+    assert est[2] >= max(est[0], est[4])
