@@ -191,3 +191,20 @@ def test_betweenness_sampled_scales(spark):
     g = EdgeGraph.from_edges(edges_df(spark, edges))
     est = {r["node"]: r["score"] for r in betweenness(g, nsamples=3).collect()}
     assert est[2] >= max(est[0], est[4])
+
+
+def test_closeness_exact(spark):
+    from networkit_spark.operators.closeness import closeness, top_closeness
+
+    # star: center 0 at distance 1 from all; leaves at 2 from each other
+    edges = [(0, i) for i in range(1, 6)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    got = {r["node"]: r["score"] for r in closeness(g).collect()}
+    assert got[0] == pytest.approx(5 / 5.0)  # (n-1)/sum = 5/5
+    for leaf in range(1, 6):
+        assert got[leaf] == pytest.approx(5 / (1 + 2 * 4))
+    top = top_closeness(g, k=1).collect()
+    assert top[0]["node"] == 0
+    h = {r["node"]: r["score"] for r in closeness(g, harmonic=True).collect()}
+    assert h[0] == pytest.approx(5.0)
+    assert h[1] == pytest.approx(1 + 4 * 0.5)
