@@ -383,6 +383,141 @@ class PageRankBlobEngine:
 
         return state.groupBy("part").applyInPandas(unpack, "node long, rank double")
 
+    def run_components(
+        self,
+        max_iter: int | None = None,
+        checkpointer: Checkpointer | None = None,
+        chain_k: int = 8,
+    ) -> DataFrame:
+        """Min-label connected components on the SAME blob store —
+        identical fused single-stage superstep as PageRank with the
+        combine swapped: dense label slabs merge with elementwise MIN
+        (labels ride as float64; node ids < 2^53 are exact).  Returns
+        (node, label) with canonical min-node-id labels
+        (``ParallelConnectedComponents.cpp`` fixpoint)."""
+        P, bd = self.P, self.blob_dir
+        part_sizes = self.part_sizes
+        conf = self.spark.conf
+        old_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        if checkpointer is None or checkpointer.dir is None:
+            import tempfile
+
+            ckpt = Checkpointer(
+                tempfile.mkdtemp(prefix="nk_ccstate_", dir=os.path.dirname(bd)),
+                interval=1,
+            )
+        else:
+            ckpt = checkpointer
+            ckpt.interval = 1
+
+        resumed = ckpt.resume(self.spark)
+        if resumed is not None:
+            it, stream = resumed
+        else:
+            it = 0
+
+            def init_labels(pdf: pd.DataFrame) -> pd.DataFrame:
+                part = int(pdf["part"].iloc[0])
+                (snodes,) = _load(bd, part, ("snodes",))
+                return pd.DataFrame(
+                    {
+                        "key": [part],
+                        "kind": [1],
+                        "blob": [np.asarray(snodes, dtype=np.float64).tobytes()],
+                        "gathered": [0],
+                        "changed": [float("inf")],
+                    }
+                )
+
+            seed = self.spark.createDataFrame([(p,) for p in self.state_parts], "part int")
+            stream = ckpt.step(
+                seed.groupBy("part").applyInPandas(
+                    init_labels, "key int, kind int, blob binary, gathered int, changed double"
+                ),
+                0,
+            )
+
+        INF = np.float64(np.inf)
+
+        def fused_stage(pdf: pd.DataFrame) -> pd.DataFrame:
+            srow = pdf[pdf["kind"] == 1]
+            if len(srow) == 0:
+                return pdf.iloc[0:0]
+            part = int(srow["key"].iloc[0])
+            old = np.frombuffer(srow["blob"].iloc[0], dtype=np.float64)
+            primer = int(srow["gathered"].iloc[0]) == 0
+            if primer:
+                new, changed = old, float("inf")
+            else:
+                agg = np.full(len(old), INF)
+                for b in pdf[pdf["kind"] == 0]["blob"]:
+                    np.minimum(agg, np.frombuffer(b, dtype=np.float64), out=agg)
+                new = np.minimum(old, agg)
+                changed = float((new < old).sum())
+            rows = {"key": [], "kind": [], "blob": [], "gathered": [], "changed": []}
+            if os.path.exists(os.path.join(bd, f"p{part}_row.npy")):
+                snodes, = _load(bd, part, ("snodes",))
+                row_nodes, indptr, inv, bounds, ridx = _load(
+                    bd, part, ("row", "indptr", "rinv", "rbounds", "ridx")
+                )
+                pos = np.searchsorted(snodes, row_nodes)
+                counts = np.diff(indptr)
+                sent = np.repeat(new[pos], counts)
+                mins = np.full(int(bounds[-1]), INF)
+                np.minimum.at(mins, np.asarray(inv), sent)
+                for p in range(P):
+                    lo, hi = int(bounds[p]), int(bounds[p + 1])
+                    if lo == hi:
+                        continue
+                    dense = np.full(part_sizes[p], INF)
+                    dense[np.asarray(ridx[lo:hi])] = mins[lo:hi]
+                    rows["key"].append(p)
+                    rows["kind"].append(0)
+                    rows["blob"].append(dense.tobytes())
+                    rows["gathered"].append(1)
+                    rows["changed"].append(0.0)
+            rows["key"].append(part)
+            rows["kind"].append(1)
+            rows["blob"].append(new.tobytes())
+            rows["gathered"].append(1)
+            rows["changed"].append(changed)
+            return pd.DataFrame(rows)
+
+        schema = "key int, kind int, blob binary, gathered int, changed double"
+        while True:
+            t0 = time.time()
+            steps = chain_k
+            if max_iter is not None:
+                steps = min(steps, max_iter - it)
+            plan = stream
+            for _ in range(max(steps, 1)):
+                plan = plan.groupBy("key").applyInPandas(fused_stage, schema)
+                it += 1
+            stream = ckpt.step(plan, it, wall_ms=(time.time() - t0) * 1e3)
+            changed = stream.where(F.col("kind") == 1).agg(
+                F.sum("changed")
+            ).collect()[0][0]
+            ckpt.history[-1]["delta"] = changed
+            if changed == 0 or (max_iter is not None and it >= max_iter):
+                break
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+        state = stream.where(F.col("kind") == 1)
+
+        def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for _, r in pdf.iterrows():
+                (snodes,) = _load(bd, int(r["key"]), ("snodes",))
+                labels = np.frombuffer(r["blob"], dtype=np.float64).astype(np.int64)
+                frames.append(pd.DataFrame({"node": np.asarray(snodes), "label": labels}))
+            if not frames:
+                return pd.DataFrame({"node": [], "label": []}).astype(
+                    {"node": "int64", "label": "int64"}
+                )
+            return pd.concat(frames)
+
+        return state.groupBy("key").applyInPandas(unpack, "node long, label long")
+
     def close(self) -> None:
         import shutil
 

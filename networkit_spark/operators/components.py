@@ -58,6 +58,16 @@ def connected_components(
     derived from edges (ids are densified at ingest)."""
     spark = graph.spark
     ckpt = checkpointer or Checkpointer()
+    if impl == "blob":
+        from networkit_spark.linkgraph.blobstep import PageRankBlobEngine
+
+        base = graph if not graph.directed else graph.to_undirected()
+        eng = PageRankBlobEngine(base, num_parts=num_parts)
+        out = eng.run_components(max_iter=max_iter, checkpointer=checkpointer)
+        out = out.persist()
+        out.count()
+        eng.close()
+        return out
     sym = graph.sym() if not graph.directed else graph.to_undirected().sym()
 
     own_prepared = False

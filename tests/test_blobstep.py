@@ -68,3 +68,23 @@ def test_partition_count_equivalence(spark):
     a = _scores(pagerank_blob(g, tol=1e-12, max_iter=12, num_parts=2), 8)
     b = _scores(pagerank_blob(g, tol=1e-12, max_iter=12, num_parts=8), 8)
     assert np.allclose(a, b, atol=1e-12)
+
+
+def test_components_blob_matches_sql(spark):
+    """run_components on the blob store == min-label sql fixpoint."""
+    from networkit_spark.operators.components import connected_components
+    from .test_components import F2_ALL
+
+    g = EdgeGraph.from_edges(edges_df(spark, F2_ALL))
+    blob = sorted(map(tuple, connected_components(g, impl="blob", num_parts=4).collect()))
+    sql = sorted(map(tuple, connected_components(g, impl="sql").collect()))
+    assert blob == sql
+
+
+def test_components_blob_long_path(spark):
+    from networkit_spark.operators.components import connected_components
+
+    edges = [(i, i + 1) for i in range(40)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    labels = {r["label"] for r in connected_components(g, impl="blob", num_parts=4).collect()}
+    assert labels == {0}
