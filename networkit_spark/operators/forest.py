@@ -1,0 +1,149 @@
+"""Spanning forests, independent sets, matchings — superstep combinatorics.
+
+- ``minimum_spanning_forest``: Borůvka rounds (``KruskalMSF``'s output,
+  ``cpp/graph/KruskalMSF.h:21``, computed the distributed way): each
+  component picks its minimum outgoing edge (deterministic (weight, src,
+  dst) tie-break), components merge, repeat — O(log n) rounds.
+  ``RandomMaximumSpanningForest`` = the same on negated weights.
+- ``luby_mis``: Luby's maximal independent set
+  (``cpp/independentset/Luby.h:21``): per-round hash priorities; a node
+  enters the MIS when its priority beats every active neighbor; winners
+  and their neighbors deactivate.
+- ``parallel_matching``: handshake maximal matching (the parallel
+  counterpart of ``PathGrowingMatcher``, ``cpp/matching/Matching.h:19``):
+  an edge matches when it is the minimum-priority incident edge of BOTH
+  endpoints; matched endpoints retire; repeat.
+
+All randomness is ``xxhash64(seed, round, …)`` — deterministic at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.operators.components import connected_components
+
+
+def minimum_spanning_forest(graph: EdgeGraph, max_rounds: int = 40) -> DataFrame:
+    """(src, dst, weight) — MSF edges (Borůvka)."""
+    spark = graph.spark
+    e = graph.edges.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    labels = graph.vertices().select(
+        F.col("id").alias("node"), F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    forest = spark.createDataFrame([], "src long, dst long, weight double")
+
+    for _ in range(max_rounds):
+        ann = (
+            e.join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "sl"), "src")
+            .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dl"), "dst")
+            .where(F.col("sl") != F.col("dl"))
+        )
+        if ann.limit(1).count() == 0:
+            break
+        # each component's minimum outgoing edge, deterministic tie-break
+        both = ann.select(F.col("sl").alias("comp"), "src", "dst", "weight").unionByName(
+            ann.select(F.col("dl").alias("comp"), "src", "dst", "weight")
+        )
+        picked = (
+            both.groupBy("comp")
+            .agg(F.expr("min_by(struct(src, dst, weight), struct(weight, src, dst))").alias("e"))
+            .select("e.src", "e.dst", "e.weight")
+            .distinct()
+        )
+        forest = forest.unionByName(picked).localCheckpoint(eager=True)
+        fgraph = EdgeGraph(forest, directed=False, weighted=True)
+        # merged component labels = CC over the forest + isolated nodes
+        cc = connected_components(fgraph, impl="sql")
+        labels = (
+            labels.select("node")
+            .join(cc, "node", "left")
+            .select("node", F.coalesce("label", F.col("node")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return forest
+
+
+def luby_mis(graph: EdgeGraph, seed: int = 42, max_rounds: int = 64) -> DataFrame:
+    """(node) — a maximal independent set."""
+    spark = graph.spark
+    sym = graph.sym().where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    sym = sym.localCheckpoint(eager=True)
+    active = graph.vertices().select(F.col("id").alias("node")).localCheckpoint(eager=True)
+    mis = spark.createDataFrame([], "node long")
+
+    for rnd in range(max_rounds):
+        if active.limit(1).count() == 0:
+            break
+        pri = active.select(
+            "node", F.abs(F.xxhash64(F.lit(seed), F.lit(rnd), "node")).alias("p")
+        )
+        edges_a = (
+            sym.join(pri.withColumnRenamed("node", "src").withColumnRenamed("p", "sp"), "src")
+            .join(pri.withColumnRenamed("node", "dst").withColumnRenamed("p", "dp"), "dst")
+        )
+        # min neighbor priority per node (nodes with no active neighbor win)
+        nbr_min = edges_a.select(F.col("src").alias("node"), F.col("dp").alias("np")).groupBy(
+            "node"
+        ).agg(F.min("np").alias("np"))
+        winners = (
+            pri.join(nbr_min, "node", "left")
+            .where(F.col("p") < F.coalesce("np", F.lit(float("inf"))))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        mis = mis.unionByName(winners).localCheckpoint(eager=True)
+        # retire winners + their neighbors
+        nbrs = (
+            sym.join(winners.withColumnRenamed("node", "src"), "src", "leftsemi")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        active = (
+            active.join(winners, "node", "left_anti")
+            .join(nbrs, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return mis
+
+
+def parallel_matching(graph: EdgeGraph, seed: int = 42, max_rounds: int = 64) -> DataFrame:
+    """(src, dst) — a maximal matching (handshake rounds)."""
+    spark = graph.spark
+    e = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    matched = spark.createDataFrame([], "src long, dst long")
+
+    for rnd in range(max_rounds):
+        if e.limit(1).count() == 0:
+            break
+        pri = e.select(
+            "src", "dst", F.abs(F.xxhash64(F.lit(seed), F.lit(rnd), "src", "dst")).alias("p")
+        )
+        ends = pri.select(F.col("src").alias("node"), "src", "dst", "p").unionByName(
+            pri.select(F.col("dst").alias("node"), "src", "dst", "p")
+        )
+        best = ends.groupBy("node").agg(
+            F.expr("min_by(struct(src, dst), struct(p, src, dst))").alias("e")
+        ).select("node", "e.src", "e.dst")
+        # an edge wins when it is the best edge of BOTH endpoints
+        wins = best.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c")).where("c = 2")
+        wins = wins.select("src", "dst").localCheckpoint(eager=True)
+        if wins.count() == 0:
+            break
+        matched = matched.unionByName(wins).localCheckpoint(eager=True)
+        used = wins.select(F.col("src").alias("node")).unionByName(
+            wins.select(F.col("dst").alias("node"))
+        ).distinct()
+        e = (
+            e.join(used.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(used.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return matched

@@ -208,3 +208,51 @@ def test_closeness_exact(spark):
     h = {r["node"]: r["score"] for r in closeness(g, harmonic=True).collect()}
     assert h[0] == pytest.approx(5.0)
     assert h[1] == pytest.approx(1 + 4 * 0.5)
+
+
+def test_minimum_spanning_forest(spark):
+    from networkit_spark.operators.forest import minimum_spanning_forest
+
+    edges = [
+        (0, 1, 1.0), (1, 2, 2.0), (0, 2, 3.0), (2, 3, 1.5),
+        (4, 5, 1.0),  # second component
+    ]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    msf = minimum_spanning_forest(g)
+    rows = {(r["src"], r["dst"]): r["weight"] for r in msf.collect()}
+    # Kruskal: {0-1, 1-2, 2-3} (skip 0-2 w=3) + {4-5}; total = 5.5
+    assert sum(rows.values()) == pytest.approx(5.5)
+    assert len(rows) == 4
+    assert (0, 2) not in rows
+
+
+def test_luby_mis(spark):
+    from networkit_spark.operators.forest import luby_mis
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 4)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    mis = {r["node"] for r in luby_mis(g).collect()}
+    eset = {(min(u, v), max(u, v)) for u, v in edges}
+    # independence
+    for u in mis:
+        for v in mis:
+            if u < v:
+                assert (u, v) not in eset
+    # maximality: every non-member has a member neighbor
+    for v in range(5):
+        if v not in mis:
+            assert any((min(u, v), max(u, v)) in eset for u in mis)
+
+
+def test_parallel_matching(spark):
+    from networkit_spark.operators.forest import parallel_matching
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    m = [(r["src"], r["dst"]) for r in parallel_matching(g).collect()]
+    used = [x for e in m for x in e]
+    assert len(used) == len(set(used))  # valid matching
+    # maximality: no remaining edge has both endpoints free
+    eset = {(min(u, v), max(u, v)) for u, v in edges}
+    free = set(range(6)) - set(used)
+    assert not any((min(u, v), max(u, v)) in eset for u in free for v in free if u < v)
