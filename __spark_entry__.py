@@ -119,10 +119,10 @@ def _q_pagerank(spark, sf_dir):
 
 
 def _q_pagerank_csr(spark, sf_dir):
-    """North-rule path (CSR supersteps); no SQL oracle — equivalence with
-    the sql path is pytest-asserted, driver records rows-only."""
+    """North-rule path (CSR supersteps) at fixed iterations — shares the
+    recursive-CTE oracle with the sql path (same fixpoint prefix)."""
     g = tpch_link_graph(spark, sf_dir)
-    pr = pagerank(g, damp=0.85, tol=1e-8, impl="csr")
+    pr = pagerank(g, damp=0.85, tol=0.0, max_iter=15, impl="csr")
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -162,16 +162,23 @@ def _q_coarsen_kind(spark, sf_dir):
     return coarse.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
 
 
-def _q_degree_top20(spark, sf_dir):
-    g = tpch_link_graph(spark, sf_dir)
+def _topk_ranked(df, k: int, order_cols, rank_name: str = "rnk"):
+    """Scale-safe global top-k: orderBy().limit(k) compiles to
+    TakeOrderedAndProject (parallel partial top-k per partition, no
+    single-partition window over the full set); the row_number window
+    then ranks only the k survivors."""
     from pyspark.sql.window import Window
 
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_name, F.row_number().over(w).cast("long"))
+
+
+def _q_degree_top20(spark, sf_dir):
+    g = tpch_link_graph(spark, sf_dir)
     sc = degree_centrality(g)
-    w = Window.orderBy(F.desc("score"), F.asc("node"))
-    return (
-        sc.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
-        .select("node", "score", F.col("rnk").cast("long").alias("rnk"))
+    return _topk_ranked(sc, 20, [F.desc("score"), F.asc("node")]).select(
+        "node", "score", "rnk"
     )
 
 
@@ -204,9 +211,8 @@ def _q_minhash_sig(spark, sf_dir):
 
 def _q_minhash_lsh(spark, sf_dir):
     """LSH-bucketed near-dup (bucket keys are md5 of band vectors) —
-    verified pairs only; rows-only check (bucketing not ANSI-SQL-
-    reproducible row-for-row; final pairs ARE pytest-checked against
-    exact jaccard)."""
+    verified pairs; md5-deterministic end-to-end, so the full band →
+    bucket → candidate → exact-verify pipeline has a DuckDB oracle."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
@@ -232,6 +238,15 @@ def _q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), k=5)
 
 
+def _q_near_dups_lsh(spark, sf_dir):
+    """The 100 TB near-dup path: LSH-bucketed candidates → exact cosine
+    verify (no crossJoin).  Rows-only check; LSH ≡ exact at high
+    thresholds is pytest-asserted (hyperplane buckets aren't ANSI-SQL)."""
+    return similarity.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, exact=False
+    )
+
+
 # ---- additional graph operators ------------------------------------------
 
 
@@ -239,7 +254,6 @@ def _q_linkpred(spark, sf_dir):
     """Link-prediction indices over distance-2 non-edges (top candidates
     only — full set is large; deterministic top-500 by jaccard)."""
     from networkit_spark.operators.linkpred import link_prediction_scores
-    from pyspark.sql.window import Window
 
     g = tpch_link_graph(spark, sf_dir)
     s = link_prediction_scores(g, only_missing=True).select(
@@ -249,8 +263,7 @@ def _q_linkpred(spark, sf_dir):
         F.round("resource_alloc", 6).alias("resource_alloc"),
         "pref_attachment",
     )
-    w = Window.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
-    return s.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 500)
+    return _topk_ranked(s, 500, [F.desc("jaccard"), F.asc("u"), F.asc("v")])
 
 
 def _q_modularity_kind(spark, sf_dir):
@@ -308,11 +321,12 @@ def _q_egosplit(spark, sf_dir):
 
 
 def _q_katz(spark, sf_dir):
-    """Katz centrality (power iteration) — rows-only."""
+    """Katz centrality at fixed iterations — recursive-CTE oracle
+    (same shape as PageRank's, no degree normalization)."""
     from networkit_spark.operators.spectral import katz_centrality
 
     g = tpch_link_graph(spark, sf_dir)
-    return katz_centrality(g, alpha=1e-3, beta=0.1, tol=1e-6, max_iter=30).select(
+    return katz_centrality(g, alpha=1e-3, beta=0.1, tol=0.0, max_iter=8).select(
         "node", F.round("score", 6).alias("score")
     )
 
@@ -407,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _q_simhash,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_near_dups": _q_near_dups,
+        "emb_near_dups_lsh": _q_near_dups_lsh,
         "emb_lsh_topk": _q_lsh_topk,
         "events_hourly": _q_events_hourly,
         "graph_linkpred": _q_linkpred,
@@ -469,6 +484,36 @@ pr(iter, node, rank) AS (
   GROUP BY p.iter + 1, s.v
 )
 SELECT node, ROUND(rank / SUM(rank) OVER (), 6) AS rank FROM pr WHERE iter = 15
+""",
+        "graph_pagerank_csr": f"""
+WITH RECURSIVE {_GRAPH_CTES},
+deg AS (SELECT u, SUM(w) + SUM(CASE WHEN u = v THEN w ELSE 0 END) AS wdeg
+        FROM sym GROUP BY u),
+nn AS (SELECT COUNT(*) AS c FROM nodes),
+pr(iter, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT c FROM nn) FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, s.v,
+         0.85 * SUM(p.rank * s.w / d.wdeg) + 0.15 / (SELECT c FROM nn)
+  FROM pr p JOIN sym s ON s.u = p.node JOIN deg d ON d.u = p.node
+  WHERE p.iter < 15
+  GROUP BY p.iter + 1, s.v
+)
+SELECT node, ROUND(rank / SUM(rank) OVER (), 6) AS rank FROM pr WHERE iter = 15
+""",
+        "graph_katz": f"""
+WITH RECURSIVE {_GRAPH_CTES},
+kz(iter, node, score) AS (
+  SELECT 0, node, CAST(0.0 AS DOUBLE) FROM nodes
+  UNION ALL
+  SELECT k.iter + 1, s.v,
+         CAST(0.001 AS DOUBLE) * SUM(k.score * s.w) + CAST(0.1 AS DOUBLE)
+  FROM kz k JOIN sym s ON s.u = k.node
+  WHERE k.iter < 8
+  GROUP BY k.iter + 1, s.v
+)
+SELECT node, ROUND(score / SQRT(SUM(score * score) OVER ()), 6) AS score
+FROM kz WHERE iter = 8
 """,
         "graph_triangle_total": f"""
 WITH {_GRAPH_CTES},
@@ -617,6 +662,37 @@ SELECT doc_id, CAST(h AS BIGINT) AS h,
        MIN(CAST(concat('0x', substr(md5(h || ':' || s), 1, 15)) AS BIGINT)) AS minhash
 FROM sh CROSS JOIN hs GROUP BY doc_id, h
 """,
+        "doc_minhash_lsh": f"""
+WITH {_SHINGLES},
+hs AS (SELECT UNNEST(range(0, 12)) AS h),
+sig AS (
+  SELECT doc_id, CAST(h AS BIGINT) AS h,
+         MIN(CAST(concat('0x', substr(md5(h || ':' || s), 1, 15)) AS BIGINT)) AS minhash
+  FROM sh CROSS JOIN hs GROUP BY doc_id, h
+),
+buckets AS (
+  SELECT doc_id, h // 3 AS band,
+         md5(array_to_string(list_sort(list(h || ':' || minhash)), ',')) AS bucket
+  FROM sig GROUP BY doc_id, h // 3
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+""",
         "doc_simhash": f"""
 WITH {_TOKS},
 tk AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
@@ -627,7 +703,7 @@ bits AS (SELECT doc_id, cnt, th, UNNEST(range(0, 32)) AS b FROM tf),
 sums AS (SELECT doc_id, b, SUM(cnt * (2 * ((th >> b) & 1) - 1)) AS s
          FROM bits GROUP BY doc_id, b)
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM sums GROUP BY doc_id
 """,
         "emb_cosine_topk": """
@@ -723,7 +799,7 @@ WITH o AS (
               ELSE 0 END AS brk
   FROM events
 ),
-s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM o)
+s AS (SELECT user_id, ts, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM o)
 SELECT user_id, sess, COUNT(*) AS n, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch
 FROM s GROUP BY user_id, sess
 """,

@@ -103,6 +103,44 @@ def vertices_of(edges: DataFrame) -> DataFrame:
     )
 
 
+def assign_dense_ids(
+    keys: DataFrame, key_col: str = "key", num_parts: int | None = None
+) -> DataFrame:
+    """``(id, key)`` with ``id`` = 0-based global rank of ``key`` ascending.
+
+    Parallel analog of ``zipWithIndex`` (no single-partition global
+    window): range-repartition on the key, per-partition ``row_number``
+    (window partitioned by the physical partition id → parallel sort),
+    then add broadcast cumulative offsets computed from the P per-
+    partition counts (P rows on the driver — O(parallelism), not O(n)).
+    Ids are deterministic and independent of ``num_parts`` / boundary
+    sampling: they always equal the global ascending-key rank.
+    """
+    from pyspark.sql.window import Window
+
+    spark = keys.sparkSession
+    P = num_parts or spark.sparkContext.defaultParallelism
+    parted = (
+        keys.repartitionByRange(P, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(key_col))
+            - F.lit(1),
+        )
+        .persist()
+    )
+    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    acc, rows = 0, []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        rows.append((r["_pid"], acc))
+        acc += r["_cnt"]
+    off_df = spark.createDataFrame(rows, "_pid int, _off long")
+    return parted.join(F.broadcast(off_df), "_pid").select(
+        (F.col("_off") + F.col("_local")).cast("long").alias("id"), key_col
+    )
+
+
 def densify_ids(edges: DataFrame, key_cols: tuple[str, str] = ("src", "dst")) -> tuple[DataFrame, DataFrame]:
     """Map arbitrary (sparse / string) node keys to dense 0-based int64 ids.
 
@@ -110,23 +148,17 @@ def densify_ids(edges: DataFrame, key_cols: tuple[str, str] = ("src", "dst")) ->
     ``getCompactedGraph`` (``cpp/graph/GraphTools.h:18-49``) and of
     ``EdgeListReader``'s string→node map path
     (``cpp/io/EdgeListReader.h:69-72``).  Returns ``(edges, id_map)``
-    where ``id_map`` is ``(id: long, key)``.  Ordering is deterministic:
-    ids assigned in ascending key order via a ranked window — at cluster
-    scale swap for ``zipWithIndex``-style per-partition offsets; rank is
-    fine through the tested SFs and keeps the map reproducible.
+    where ``id_map`` is ``(id: long, key)``.  Ids are assigned in
+    ascending key order by ``assign_dense_ids`` — per-partition offsets,
+    no global single-partition sort.
     """
-    from pyspark.sql.window import Window
-
     s, d = key_cols
     keys = (
         edges.select(F.col(s).alias("key"))
         .unionByName(edges.select(F.col(d).alias("key")))
         .distinct()
     )
-    id_map = keys.select(
-        (F.row_number().over(Window.orderBy("key")) - 1).cast("long").alias("id"),
-        "key",
-    )
+    id_map = assign_dense_ids(keys, "key")
     out = (
         edges.join(id_map.withColumnRenamed("key", s), on=s)
         .withColumnRenamed("id", "src_id")

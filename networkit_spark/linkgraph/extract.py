@@ -30,9 +30,8 @@ stable id offsets keep it SQL-reproducible.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
-from networkit_spark.graph import EdgeGraph
+from networkit_spark.graph import EdgeGraph, assign_dense_ids
 
 PART_OFFSET = 1_000_000
 SUPP_OFFSET = 2_000_000
@@ -88,9 +87,7 @@ def extract_link_graph(
         .unionByName(typed.select(F.col("kb").alias("key")))
         .distinct()
     )
-    id_map = keys.select(
-        (F.row_number().over(Window.orderBy("key")) - 1).cast("long").alias("id"), "key"
-    ).persist()
+    id_map = assign_dense_ids(keys, "key").persist()
     edges = (
         typed.join(id_map.withColumnRenamed("key", "ka").withColumnRenamed("id", "src"), "ka")
         .join(id_map.withColumnRenamed("key", "kb").withColumnRenamed("id", "dst"), "kb")
@@ -116,9 +113,24 @@ def tpch_link_graph(spark: SparkSession, sf_dir: str) -> EdgeGraph:
     Node ids: customer = c_custkey; part = 1e6 + p_partkey; supplier =
     2e6 + s_suppkey (stable offsets ⇒ DuckDB-reproducible; min-id labels
     are meaningful).  Weights = interaction counts (orders ⋈ lineitem).
+
+    Id-space disjointness is ASSERTED (not assumed): beyond sf≈7 the
+    custkey range would collide with the part offset and edges would
+    silently stop being canonical — fail loudly instead.
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    mx = lineitem.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    mc = orders.agg(F.max("o_custkey")).collect()[0][0]
+    if (mc or 0) >= PART_OFFSET or (mx["mp"] or 0) >= SUPP_OFFSET - PART_OFFSET or (
+        mx["ms"] or 0
+    ) >= SUPP_OFFSET:
+        raise ValueError(
+            f"key ranges collide with id offsets (max custkey={mc}, "
+            f"partkey={mx['mp']}, suppkey={mx['ms']}); raise PART_OFFSET/SUPP_OFFSET"
+        )
     oli = orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
     cust_part = oli.groupBy(
         F.col("o_custkey").alias("src"),

@@ -29,9 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
-from networkit_spark.graph import EdgeGraph
+from networkit_spark.graph import EdgeGraph, assign_dense_ids
 from networkit_spark.operators.plp import plp
 
 
@@ -92,11 +91,13 @@ def ego_splitting(
     )
     membership = comps.unionByName(singletons).persist()
 
-    # persona ids: dense rank over (ego, rep) — deterministic
-    personas = membership.select("ego", "rep").distinct()
-    pid = personas.select(
-        "ego", "rep",
-        (F.row_number().over(Window.orderBy("ego", "rep")) - 1).cast("long").alias("pid"),
+    # persona ids: global ascending rank of (ego, rep) — assigned with
+    # per-partition offsets (assign_dense_ids), no single-partition sort
+    personas = membership.select(F.struct("ego", "rep").alias("_k")).distinct()
+    pid = assign_dense_ids(personas, "_k").select(
+        F.col("_k.ego").alias("ego"),
+        F.col("_k.rep").alias("rep"),
+        F.col("id").alias("pid"),
     )
     memb_pid = membership.join(pid, ["ego", "rep"]).select("ego", "member", "pid")
 

@@ -94,3 +94,27 @@ def test_source_table_to_pagerank_e2e(spark):
     hub = vertices.where("kind = 'r' and key = 'repo00000'").collect()[0]["id"]
     top5 = sorted(((v, k) for k, v in fast.items() if k in repo_ids), reverse=True)[:5]
     assert hub in {k for _, k in top5}
+
+
+def test_assign_dense_ids_partition_equivalence(spark):
+    """Ids from assign_dense_ids = global ascending-key rank, identical
+    at 2/8/32 partitions, and the plan has no single-partition global
+    window Exchange (the scale fix for densify/persona id assignment)."""
+    from networkit_spark.graph import assign_dense_ids
+
+    keys = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.format_string("%06d", (F.col("id") * 7919) % 5000)).alias("key")
+    ).distinct()
+    expected = None
+    for p in (2, 8, 32):
+        got = {
+            r["key"]: r["id"]
+            for r in assign_dense_ids(keys, "key", num_parts=p).collect()
+        }
+        ranks = {k: i for i, k in enumerate(sorted(got))}
+        assert got == ranks
+        if expected is None:
+            expected = got
+        assert got == expected
+    plan = assign_dense_ids(keys, "key", num_parts=8)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
