@@ -49,21 +49,20 @@ def neighborhood_function_approx(
     rcols = [f"r{t}" for t in range(num_trials)]
 
     def estimate(df: DataFrame) -> float:
-        # FM: R = least zero bit position (trailing-ones run length from
-        # the LSB of the unioned bitmap); est = 2^mean(R) / 0.77351
-        exprs = [
-            F.avg(
-                F.coalesce(
-                    F.length(F.regexp_extract(F.bin(F.col(c)), "(1+)$", 1)), F.lit(0)
-                )
-            ).alias(c)
+        # ANF estimator (Palmer et al.): per node v, R̄_v = mean over
+        # trials of the least-zero-bit position of v's unioned bitmap
+        # (= trailing-ones run length); IN(v,h) ≈ 2^R̄_v / 0.77351;
+        # N(h) = Σ_v IN(v,h).  Sum of per-node estimates — NOT
+        # 2^mean-over-all(R) (a geometric-mean scalar, off by ~n).
+        r_exprs = [
+            F.coalesce(
+                F.length(F.regexp_extract(F.bin(F.col(c)), "(1+)$", 1)), F.lit(0)
+            ).cast("double")
             for c in rcols
         ]
-        row = df.agg(*exprs).collect()[0]
-        import statistics
-
-        b = statistics.mean(row[c] for c in rcols)
-        return (2**b) / 0.77351
+        mean_r = sum(r_exprs[1:], r_exprs[0]) / float(num_trials)
+        per_node = F.pow(F.lit(2.0), mean_r) / 0.77351
+        return df.agg(F.sum(per_node)).collect()[0][0]
 
     # h=0 uses the sketch estimate too (consistent FM bias across h, so
     # the effective-diameter ratio compares like with like)

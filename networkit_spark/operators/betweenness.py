@@ -19,8 +19,10 @@ Spark shape per source s (unweighted):
 Cost: O(diameter) supersteps per source — exact betweenness is n
 sources (fixture-scale only); the scale path samples k sources
 (deterministic hash order) like the reference's EstimateBetweenness.
-Divide-by-two for undirected graphs matches the reference
-(``Betweenness.cpp`` normalization of symmetric pair counts).
+Undirected raw scores are NOT halved — the reference accumulates the
+dependency from every source, so each unordered pair contributes from
+both endpoints; only the NORMALIZED undirected variant divides the
+pair count by two (``Betweenness.cpp`` run() normalization block).
 """
 
 from __future__ import annotations
@@ -90,7 +92,10 @@ def betweenness(
     normalized: bool = False,
 ) -> DataFrame:
     """(node, score).  All sources → exact Brandes; ``nsamples`` →
-    EstimateBetweenness (scaled by n/k).  Undirected scores halved."""
+    EstimateBetweenness (scaled by n/k).  Raw scores are NOT halved for
+    undirected graphs (``Betweenness.cpp`` accumulates both directions);
+    ``normalized`` divides by (n-1)(n-2) directed, (n-1)(n-2)/2
+    undirected (``Betweenness.cpp`` pairs = (n-2)(n-1) [/ 2])."""
     sym = graph.sym().select("src", "dst").persist()
     vertices = graph.vertices().persist()
     n = graph.num_nodes()
@@ -116,13 +121,13 @@ def betweenness(
         )
         total = total.localCheckpoint(eager=True)
     scale = 1.0
-    if not graph.directed:
-        scale *= 0.5
     if nsamples is not None and len(sources) < n:
         scale *= n / len(sources)
     if normalized:
-        denom = (n - 1) * (n - 2) if graph.directed else (n - 1) * (n - 2)
-        scale /= max(denom, 1)
+        pairs = (n - 1) * (n - 2)
+        if not graph.directed:
+            pairs //= 2
+        scale /= max(pairs, 1)
     out = (
         vertices.join(total, vertices["id"] == total["node"], "left")
         .select(

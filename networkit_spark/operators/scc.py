@@ -82,4 +82,10 @@ def strongly_connected_components(graph: EdgeGraph, max_outer: int = 64) -> Data
         result = result.localCheckpoint(eager=True)
         remaining = remaining.join(marked.select("node"), "node", "left_anti").localCheckpoint(eager=True)
 
+    if remaining.count() > 0:
+        raise RuntimeError(
+            f"strongly_connected_components: max_outer={max_outer} rounds "
+            f"exhausted with {remaining.count()} nodes unlabeled — raise "
+            "max_outer (each round removes at least one SCC)"
+        )
     return result if result is not None else spark.createDataFrame([], "node long, label long")

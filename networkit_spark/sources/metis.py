@@ -1,10 +1,14 @@
 """METIS adjacency-format reader.
 
 Format (``cpp/io/METISGraphReader.cpp``, 115 LoC): header line
-``n m [fmt]``; line i (1-based, after the header, comments ``%``) lists
-the neighbors of node i-1... in METIS node ids are 1-based, so a line
-``2 5`` for node 0 means edges (0,1) and (0,4).  ``fmt``=1 means
-weighted: lines alternate ``neighbor weight`` pairs.
+``n m [fmt [ncon]]``; line i (1-based, after the header, comments
+``%``) lists the neighbors of node i-1... in METIS node ids are
+1-based, so a line ``2 5`` for node 0 means edges (0,1) and (0,4).
+``fmt`` is an integer flag field (``METISGraphReader.cpp:28-38``):
+``fmt % 10 == 1`` ⇒ edge-weighted (lines alternate ``neighbor weight``
+pairs; covers "1", "001", "011", "11"); ``fmt // 10 == 1`` ⇒ each line
+starts with ``ncon`` vertex-weight values, which are skipped
+(``ignoreFirst = ncon``; ncon defaults to 1 when absent).
 
 Spark: ``spark.read.text`` has no line numbers, so we zip them in via a
 window over a monotonic id — acceptable for fixture-scale files (METIS
@@ -28,11 +32,19 @@ def read_metis(spark: SparkSession, path: str) -> EdgeGraph:
     header = lines.where(F.col("lineno") == 0).select(
         F.split("line", r"\s+").alias("h")
     ).collect()[0]["h"]
-    weighted = len(header) >= 3 and header[2] in ("1", "011", "11")
+    fmt = int(header[2]) if len(header) >= 3 else 0
+    ncon = int(header[3]) if len(header) >= 4 else 1
+    weighted = fmt % 10 == 1
+    skip = ncon if fmt // 10 == 1 else 0
     body = lines.where(F.col("lineno") > 0).select(
         (F.col("lineno") - 1).cast("long").alias("src"),
         F.split("line", r"\s+").alias("toks"),
     )
+    if skip:
+        # drop the ncon leading vertex-weight values of every line
+        body = body.select(
+            "src", F.slice("toks", skip + 1, F.greatest(F.size("toks") - skip, F.lit(0))).alias("toks")
+        )
     if not weighted:
         e = body.select("src", F.explode("toks").alias("tok")).select(
             "src", (F.col("tok").cast("long") - 1).alias("dst"), F.lit(1.0).alias("weight")

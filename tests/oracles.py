@@ -170,8 +170,10 @@ def lcc_oracle(n, edges):
 
 
 def betweenness_oracle(n, edges, directed=False):
-    """Brandes exact betweenness (unweighted); undirected halved —
-    cpp/centrality/Betweenness.cpp."""
+    """Brandes exact betweenness (unweighted) — raw scores, NOT halved
+    for undirected (cpp/centrality/Betweenness.cpp accumulates the
+    dependency from every source; only normalized scores divide the
+    (n-1)(n-2) pair count by 2 when undirected)."""
     from collections import deque
 
     adj: dict[int, list[int]] = {i: [] for i in range(n)}
@@ -204,6 +206,4 @@ def betweenness_oracle(n, edges, directed=False):
                 delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
             if w != s:
                 bc[w] += delta[w]
-    if not directed:
-        bc /= 2
     return bc

@@ -100,5 +100,9 @@ def test_anf_path_graph(spark):
     # monotone non-decreasing estimates
     ests = [e for _, e in nf]
     assert all(b >= a * 0.99 for a, b in zip(ests, ests[1:]))
+    # N(h) is a sum of per-node estimates: N(∞) on a 10-node path is
+    # exactly 100 reachable pairs — the FM estimate must land near it
+    # (not near ~10, which the old geometric-mean scalar produced)
+    assert 50 <= ests[-1] <= 200
     ed = effective_diameter_approx(g, ratio=0.9, max_h=12, num_trials=24)
     assert 4 <= ed <= 10  # true eff. diameter ~8 on a 10-node path

@@ -62,6 +62,35 @@ def test_metis_reader(spark, tmp_path):
     assert rows == {(0, 1), (1, 2), (2, 3)}
 
 
+def test_metis_fmt_001_edge_weights(spark, tmp_path):
+    """fmt '001' is the standard METIS spelling for edge weights
+    (METISGraphReader.cpp: weighted = fmt % 10 == 1)."""
+    p = tmp_path / "w.graph"
+    p.write_text("3 2 001\n2 5.0\n1 5.0 3 2.5\n2 2.5\n")
+    g = read_metis(spark, str(p))
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert rows == {(0, 1): 5.0, (1, 2): 2.5}
+
+
+def test_metis_fmt_011_vertex_weights_skipped(spark, tmp_path):
+    """fmt '011' (vertex + edge weights): the leading ncon vertex-weight
+    values per line are skipped (ignoreFirst = ncon)."""
+    p = tmp_path / "vw.graph"
+    p.write_text("3 2 011 1\n7 2 5.0\n9 1 5.0 3 2.5\n4 2 2.5\n")
+    g = read_metis(spark, str(p))
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert rows == {(0, 1): 5.0, (1, 2): 2.5}
+
+
+def test_metis_fmt_010_vertex_weights_unweighted(spark, tmp_path):
+    """fmt '010': vertex weights only — skip them, edges unweighted."""
+    p = tmp_path / "v.graph"
+    p.write_text("3 2 010\n7 2\n9 1 3\n4 2\n")
+    g = read_metis(spark, str(p))
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert rows == {(0, 1): 1.0, (1, 2): 1.0}
+
+
 def test_writers_roundtrip(spark, tmp_path):
     p = tmp_path / "g.edgelist"
     p.write_text("0 1 2.0\n1 2 3.0\n")
