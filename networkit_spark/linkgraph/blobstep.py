@@ -30,12 +30,18 @@ Architecture (the 100 TB design, measured on local[32]):
 - Checkpoint/resume: the state DataFrame round-trips through parquet
   (binary column); metrics per superstep via Checkpointer.
 
-Hub note: this fast path does not salt hub adjacency (a part owns all
-out-edges of its nodes); the general engine (``superstep.prepare`` +
-``impl="csr"``) salts hubs across partitions and is the path for graphs
-whose single-vertex adjacency exceeds a partition budget.  At web scale
-you size P so Σ outdeg per part ≈ m/P and use the salted path for
-super-hubs (SURVEY.md §4).
+Hub note: sources whose (symmetrized) out-degree exceeds ``hub_cap``
+are SALTED — their adjacency is split into ⌈deg/hub_cap⌉ slices
+assigned round-robin to partitions ``(src+1+j) % P``, so no partition
+owns a super-hub's whole edge list.  A salted store runs a TWO-stage
+superstep (gather / update) instead of the fused single stage: the
+update stage additionally emits per-(owner, block) ``kind=2`` packs —
+the hubs' rank·invw values (8 bytes per hub per slice partition, tiny)
+— and the gather stage assembles block source values from the local
+state row plus those packs before the CSR gather.  Partial slabs merge
+in the next update exactly as in the unsalted path, so salted and
+unsalted results are bit-identical (pytest-asserted on a skewed RMAT
+graph with a forced low cap).
 
 This is the distributed re-expression of NetworKit's in-memory CSR +
 OpenMP loop (``cpp/centrality/PageRank.cpp:20-71``,
@@ -77,6 +83,20 @@ def _load(blob_dir: str, part: int, names: tuple[str, ...]):
             _BLOB_CACHE[key] = arr
         out.append(arr)
     return out
+
+
+_MISSING = object()
+
+
+def _load_opt(blob_dir: str, part: int, nm: str):
+    """Like ``_load`` but returns None for absent files (negative-cached)."""
+    key = (blob_dir, part, nm)
+    arr = _BLOB_CACHE.get(key)
+    if arr is None:
+        path = os.path.join(blob_dir, f"p{part}_{nm}.npy")
+        arr = np.load(path, mmap_mode="r") if os.path.exists(path) else _MISSING
+        _BLOB_CACHE[key] = arr
+    return None if arr is _MISSING else arr
 
 
 def _write_csr(blob_dir: str, pdf: pd.DataFrame, num_parts: int) -> pd.DataFrame:
@@ -154,15 +174,18 @@ class PageRankBlobEngine:
             meta = json.load(f)
         self.P = meta["P"]
         self.n = meta["n"]
+        self.salted = meta.get("salted", False)
         return self
 
     def __init__(self, graph: EdgeGraph, num_parts: int | None = None,
-                 blob_root: str | None = None, blob_dir: str | None = None):
+                 blob_root: str | None = None, blob_dir: str | None = None,
+                 hub_cap: int = 1 << 20):
         spark = graph.spark
         self.spark = spark
         if num_parts is None:
             num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.P = P = num_parts
+        self.hub_cap = hub_cap
         import tempfile
 
         if blob_dir is not None:
@@ -200,17 +223,56 @@ class PageRankBlobEngine:
         )
         self.part_sizes = {int(r["part"]): int(r["cnt"]) for r in parts_df.collect()}
         self.state_parts = sorted(self.part_sizes)
+        # hub salting: sources over hub_cap get their adjacency sliced
+        # round-robin across partitions (src+1+j) % P; everyone else
+        # keeps the zero-routing home partition src % P
+        odeg = sym.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("odeg"))
+        hubs = odeg.where(F.col("odeg") > hub_cap).select("src", "odeg")
+        self.num_hubs = hubs.count()
+        self.salted = self.num_hubs > 0
+        if self.salted:
+            e = sym.join(F.broadcast(hubs), "src", "left")
+            nslices = F.least(
+                F.ceil(F.col("odeg") / F.lit(hub_cap)), F.lit(P)
+            ).cast("long")
+            slice_j = F.pmod(F.xxhash64("dst"), nslices)
+            part_col = F.when(
+                F.col("odeg").isNotNull(),
+                F.pmod(F.col("src") + 1 + slice_j, F.lit(P)),
+            ).otherwise(F.pmod("src", F.lit(P)))
+            edges_p = e.select(
+                part_col.cast("int").alias("part"), "src", "dst", "weight"
+            ).repartition(P, "part")
+            # per-block sorted hub-source lists (kind-2 pack order)
+            hub_parts = (
+                edges_p.join(F.broadcast(hubs.select("src")), "src", "leftsemi")
+                .select("part", "src")
+                .distinct()
+            )
+
+            def write_hubrecv(pdf: pd.DataFrame) -> pd.DataFrame:
+                part = int(pdf["part"].iloc[0])
+                np.save(
+                    os.path.join(bd, f"p{part}_hubrecv.npy"),
+                    np.sort(pdf["src"].to_numpy(np.int64)),
+                )
+                return pd.DataFrame({"part": [part], "cnt": [len(pdf)]})
+
+            hub_parts.groupBy("part").applyInPandas(
+                write_hubrecv, "part int, cnt long"
+            ).count()
+        else:
+            edges_p = sym.select(
+                F.pmod("src", F.lit(P)).cast("int").alias("part"), "src", "dst", "weight"
+            ).repartition(P, "part")
         # the CSR/gather-plan pass reads snodes blobs → must run second
-        edges_p = sym.select(
-            F.pmod("src", F.lit(P)).cast("int").alias("part"), "src", "dst", "weight"
-        ).repartition(P, "part")
         edges_p.groupBy("part").applyInPandas(
             lambda pdf: _write_csr(bd, pdf, P), "part int, rows long"
         ).count()
         import json
 
         with open(os.path.join(bd, "meta.json"), "w") as f:
-            json.dump({"P": P, "n": self.n}, f)
+            json.dump({"P": P, "n": self.n, "salted": self.salted}, f)
 
     def run(
         self,
@@ -224,6 +286,11 @@ class PageRankBlobEngine:
         (dangling mass lost; L2 tol; final normalization;
         ``PageRank.cpp:20-71``).  ``chain_k`` supersteps run fused per
         Spark job (see loop comment)."""
+        if getattr(self, "salted", False):
+            return self._run_salted(
+                damp=damp, tol=tol, max_iter=max_iter,
+                checkpointer=checkpointer, chain_k=chain_k,
+            )
         P, n, bd = self.P, self.n, self.blob_dir
         damp_f, teleport = float(damp), (1.0 - damp) / n
         # AQE would coalesce the small-byte/high-compute blob shuffles to
@@ -383,6 +450,208 @@ class PageRankBlobEngine:
 
         return state.groupBy("part").applyInPandas(unpack, "node long, rank double")
 
+    def _run_salted(
+        self,
+        damp: float = 0.85,
+        tol: float = 1e-8,
+        max_iter: int | None = None,
+        checkpointer: Checkpointer | None = None,
+        chain_k: int = 8,
+    ) -> DataFrame:
+        """Two-stage superstep loop for hub-salted stores.
+
+        gather stage (key = edge block q): assemble block-source values
+        from the local state row (non-hub sources: part(src)=q) plus the
+        received ``kind=2`` hub packs, CSR-gather, emit dense partial
+        slabs keyed by receiver part; pass the state row through.
+
+        update stage (key = state part p): merge slabs → rank_new →
+        emit state row + fresh kind-2 hub packs (rank·invw of the hubs p
+        owns, in each destination block's sorted ``hubrecv`` order).
+
+        Results are identical to the fused unsalted loop: the slab
+        algebra is unchanged, only WHERE a hub's adjacency is gathered
+        moves.  Wire cost of the packs: 8 bytes × (hub, slice-partition)
+        pairs per superstep — negligible next to the O(n) slabs."""
+        P, n, bd = self.P, self.n, self.blob_dir
+        damp_f, teleport = float(damp), (1.0 - damp) / n
+        conf = self.spark.conf
+        old_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        if checkpointer is None or checkpointer.dir is None:
+            import tempfile
+
+            ckpt = Checkpointer(
+                tempfile.mkdtemp(prefix="nk_prstate_", dir=os.path.dirname(bd)),
+                interval=1,
+            )
+        else:
+            ckpt = checkpointer
+            ckpt.interval = 1
+        part_sizes = self.part_sizes
+
+        def emit_state_and_packs(part, rank_new, delta_sq, rows):
+            snodes, invw = _load(bd, part, ("snodes", "invw"))
+            vals = rank_new * invw
+            for q in range(P):
+                hr = _load_opt(bd, q, "hubrecv")
+                if hr is None:
+                    continue
+                hr = np.asarray(hr)
+                own = hr[hr % P == part]
+                if len(own) == 0:
+                    continue
+                rows["key"].append(q)
+                rows["kind"].append(2)
+                rows["sender"].append(part)
+                rows["blob"].append(vals[np.searchsorted(snodes, own)].tobytes())
+                rows["gathered"].append(1)
+                rows["delta_sq"].append(0.0)
+                rows["rank_sum"].append(0.0)
+            rows["key"].append(part)
+            rows["kind"].append(1)
+            rows["sender"].append(part)
+            rows["blob"].append(rank_new.tobytes())
+            rows["gathered"].append(1)
+            rows["delta_sq"].append(delta_sq)
+            rows["rank_sum"].append(float(rank_new.sum()))
+
+        def update_stage(pdf: pd.DataFrame) -> pd.DataFrame:
+            """kind-1 state + kind-0 slabs → new state + kind-2 packs."""
+            srow = pdf[pdf["kind"] == 1]
+            if len(srow) == 0:
+                return pdf.iloc[0:0]
+            part = int(srow["key"].iloc[0])
+            rank_old = np.frombuffer(srow["blob"].iloc[0], dtype=np.float64)
+            # gather always precedes update in the salted loop, so a
+            # missing slab genuinely means "no in-links" (rank=teleport)
+            agg = np.zeros(len(rank_old))
+            for b in pdf[pdf["kind"] == 0]["blob"]:
+                agg += np.frombuffer(b, dtype=np.float64)
+            rank_new = damp_f * agg + teleport
+            delta_sq = float(((rank_old - rank_new) ** 2).sum())
+            rows = {"key": [], "kind": [], "sender": [], "blob": [],
+                    "gathered": [], "delta_sq": [], "rank_sum": []}
+            emit_state_and_packs(part, rank_new, delta_sq, rows)
+            return pd.DataFrame(rows)
+
+        def gather_stage(pdf: pd.DataFrame) -> pd.DataFrame:
+            """kind-1 state (pass-through + local vals) + kind-2 packs →
+            kind-0 slabs; block-less parts just pass state through."""
+            part = int(pdf["key"].iloc[0])
+            srow = pdf[pdf["kind"] == 1]
+            out = srow.copy() if len(srow) else pdf.iloc[0:0].copy()
+            if not os.path.exists(os.path.join(bd, f"p{part}_row.npy")):
+                return out
+            row_nodes, indptr, w, inv, bounds, ridx = _load(
+                bd, part, ("row", "indptr", "w", "rinv", "rbounds", "ridx")
+            )
+            row_nodes = np.asarray(row_nodes)
+            vals = np.zeros(len(row_nodes))
+            hr = _load_opt(bd, part, "hubrecv")
+            if hr is not None and len(hr):
+                hr = np.asarray(hr)
+                hv = np.zeros(len(hr))
+                for _, r in pdf[pdf["kind"] == 2].iterrows():
+                    sender = int(r["sender"])
+                    mask = hr % P == sender
+                    hv[mask] = np.frombuffer(r["blob"], dtype=np.float64)
+                pos = np.searchsorted(hr, row_nodes)
+                pos_c = np.minimum(pos, len(hr) - 1)
+                ishub = hr[pos_c] == row_nodes
+                vals[ishub] = hv[pos_c[ishub]]
+            else:
+                ishub = np.zeros(len(row_nodes), dtype=bool)
+            if len(srow):
+                snodes, invw = _load(bd, part, ("snodes", "invw"))
+                rank_cur = np.frombuffer(srow["blob"].iloc[0], dtype=np.float64)
+                lvals = rank_cur * invw
+                nonhub = ~ishub
+                vals[nonhub] = lvals[np.searchsorted(snodes, row_nodes[nonhub])]
+            counts = np.diff(indptr)
+            contrib = np.repeat(vals, counts) * np.asarray(w)
+            sums = np.bincount(np.asarray(inv), weights=contrib, minlength=int(bounds[-1]))
+            rows = {"key": [], "kind": [], "sender": [], "blob": [],
+                    "gathered": [], "delta_sq": [], "rank_sum": []}
+            for p in range(P):
+                lo, hi = int(bounds[p]), int(bounds[p + 1])
+                if lo == hi:
+                    continue
+                dense = np.zeros(part_sizes[p])
+                dense[np.asarray(ridx[lo:hi])] = sums[lo:hi]
+                rows["key"].append(p)
+                rows["kind"].append(0)
+                rows["sender"].append(part)
+                rows["blob"].append(dense.tobytes())
+                rows["gathered"].append(1)
+                rows["delta_sq"].append(0.0)
+                rows["rank_sum"].append(0.0)
+            return pd.concat([out, pd.DataFrame(rows)]) if len(out) else pd.DataFrame(rows)
+
+        schema = ("key int, kind int, sender int, blob binary, gathered int, "
+                  "delta_sq double, rank_sum double")
+
+        resumed = ckpt.resume(self.spark)
+        if resumed is not None:
+            it, stream = resumed
+        else:
+            it = 0
+
+            def init_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+                part = int(pdf["part"].iloc[0])
+                (snodes,) = _load(bd, part, ("snodes",))
+                rows = {"key": [], "kind": [], "sender": [], "blob": [],
+                        "gathered": [], "delta_sq": [], "rank_sum": []}
+                # emit init state AND the first hub packs; the loop's
+                # first gather reads both, so no primer flag is needed
+                emit_state_and_packs(part, np.full(len(snodes), 1.0 / n), float("inf"), rows)
+                return pd.DataFrame(rows)
+
+            seed = self.spark.createDataFrame(
+                [(p,) for p in self.state_parts], "part int"
+            )
+            stream = ckpt.step(
+                seed.groupBy("part").applyInPandas(init_rank, schema), 0
+            )
+
+        while True:
+            t0 = time.time()
+            steps = chain_k
+            if max_iter is not None:
+                steps = min(steps, max_iter - it)
+            plan = stream
+            for _ in range(max(steps, 1)):
+                plan = plan.groupBy("key").applyInPandas(gather_stage, schema)
+                plan = plan.groupBy("key").applyInPandas(update_stage, schema)
+                it += 1
+            stream = ckpt.step(plan, it, rows=n, wall_ms=(time.time() - t0) * 1e3)
+            sums = stream.where(F.col("kind") == 1).agg(
+                F.sum("delta_sq").alias("d"), F.sum("rank_sum").alias("s")
+            ).collect()[0]
+            delta = math.sqrt(sums["d"] or 0.0)
+            ckpt.history[-1]["delta"] = delta
+            if delta <= tol or (max_iter is not None and it >= max_iter):
+                total = sums["s"]
+                break
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+        state = stream.where(F.col("kind") == 1).select(
+            F.col("key").alias("part"), F.col("blob").alias("rank")
+        )
+
+        def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for _, r in pdf.iterrows():
+                (snodes,) = _load(bd, int(r["part"]), ("snodes",))
+                rank = np.frombuffer(r["rank"], dtype=np.float64) / total
+                frames.append(pd.DataFrame({"node": np.asarray(snodes), "rank": rank}))
+            if not frames:
+                return pd.DataFrame({"node": [], "rank": []}).astype(
+                    {"node": "int64", "rank": "float64"}
+                )
+            return pd.concat(frames)
+
+        return state.groupBy("part").applyInPandas(unpack, "node long, rank double")
+
     def run_components(
         self,
         max_iter: int | None = None,
@@ -395,6 +664,12 @@ class PageRankBlobEngine:
         (labels ride as float64; node ids < 2^53 are exact).  Returns
         (node, label) with canonical min-node-id labels
         (``ParallelConnectedComponents.cpp`` fixpoint)."""
+        if getattr(self, "salted", False):
+            raise NotImplementedError(
+                "run_components on a hub-salted blob store is not wired "
+                "yet — prepare with a higher hub_cap or use impl='csr' "
+                "(salted) / impl='sql' for components"
+            )
         P, bd = self.P, self.blob_dir
         part_sizes = self.part_sizes
         conf = self.spark.conf
@@ -532,9 +807,10 @@ def pagerank_blob(
     num_parts: int | None = None,
     checkpointer: Checkpointer | None = None,
     engine: PageRankBlobEngine | None = None,
+    hub_cap: int = 1 << 20,
 ) -> DataFrame:
     own = engine is None
-    eng = engine or PageRankBlobEngine(graph, num_parts=num_parts)
+    eng = engine or PageRankBlobEngine(graph, num_parts=num_parts, hub_cap=hub_cap)
     out = eng.run(damp=damp, tol=tol, max_iter=max_iter, checkpointer=checkpointer)
     if own:
         out = out.persist()

@@ -99,20 +99,22 @@ def betweenness(
     sym = graph.sym().select("src", "dst").persist()
     vertices = graph.vertices().persist()
     n = graph.num_nodes()
-    all_nodes = [r["id"] for r in vertices.orderBy("id").collect()]
     if sources is None:
         if nsamples is not None and nsamples < n:
-            # deterministic sample: hash order (reference samples uniformly
-            # with its seeded RNG; we fix the xxhash order)
-            import hashlib
-
-            ranked = sorted(
-                all_nodes,
-                key=lambda v: hashlib.md5(f"bw:{v}".encode()).hexdigest(),
+            # deterministic sample (reference samples uniformly with its
+            # seeded RNG; we fix the md5 order).  ORDER BY md5 LIMIT k
+            # runs as a distributed TakeOrdered — only the k winners are
+            # collected, never the full node set.
+            picked = (
+                vertices.orderBy(
+                    F.md5(F.concat(F.lit("bw:"), F.col("id").cast("string")))
+                )
+                .limit(nsamples)
+                .collect()
             )
-            sources = ranked[:nsamples]
+            sources = [r["id"] for r in picked]
         else:
-            sources = all_nodes
+            sources = [r["id"] for r in vertices.orderBy("id").collect()]
     total = None
     for s in sources:
         d = _brandes_single_source(sym, vertices, s)

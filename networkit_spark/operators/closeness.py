@@ -22,12 +22,20 @@ from networkit_spark.operators.bfs import bfs
 
 
 def _sources_sample(graph: EdgeGraph, nsamples: int | None) -> list[int]:
-    all_nodes = [r["id"] for r in graph.vertices().orderBy("id").collect()]
-    if nsamples is None or nsamples >= len(all_nodes):
-        return all_nodes
-    import hashlib
-
-    return sorted(all_nodes, key=lambda v: hashlib.md5(f"cl:{v}".encode()).hexdigest())[:nsamples]
+    """Deterministic sample of BFS sources.  The sampled path collects
+    only the k chosen ids — the md5 ranking runs distributed as a
+    TakeOrdered (ORDER BY md5 LIMIT k), never materializing the node
+    set on the driver.  Exhaustive mode (nsamples=None) collects all
+    ids because the per-source driver loop needs them (fixture scale)."""
+    if nsamples is None or nsamples >= graph.num_nodes():
+        return [r["id"] for r in graph.vertices().orderBy("id").collect()]
+    picked = (
+        graph.vertices()
+        .orderBy(F.md5(F.concat(F.lit("cl:"), F.col("id").cast("string"))))
+        .limit(nsamples)
+        .collect()
+    )
+    return [r["id"] for r in picked]
 
 
 def closeness(

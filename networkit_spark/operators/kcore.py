@@ -69,13 +69,18 @@ def core_decomposition(graph: EdgeGraph, max_k: int | None = None) -> DataFrame:
 def core_decomposition_hindex(graph: EdgeGraph, max_rounds: int = 64) -> DataFrame:
     """(node, core) via iterated neighborhood H-index (Lü et al. 2016):
     ``x_v ← H({x_u : u ∈ N(v)})`` starting from degrees converges to the
-    coreness.  Each round is one join + one collect_list aggregation
-    with the H-index computed by JVM higher-order array functions —
-    typically <15 rounds vs the peel loop's O(k_max) sweeps.
+    coreness — typically <15 rounds vs the peel loop's O(k_max) sweeps.
 
-    Scale note: collect_list materializes a hub's neighbor values in one
-    row (O(deg) memory); for super-hub graphs use the peel variant or
-    pre-salt.  Results are exact and asserted equal to the peel."""
+    HUB-SAFE, list-free formulation: values are clamped to the
+    degeneracy bound H0 = H-index of the degree sequence (coreness ≤ H0
+    and for h ≤ H0 the clamp preserves every ≥-h count, so the fixpoint
+    is EXACT — asserted equal to the peel variant in tests).  Each round
+    aggregates per-(node, value) COUNTS (map-side combined shuffle; no
+    row ever holds O(deg) data) and folds the ≤ H0+1 distinct-value
+    counts per node with a JVM ``aggregate`` HOF:
+    ``H = max_i min(w_i, Σ_{j≤i} c_j)`` over values sorted descending.
+    A degree-10⁸ super-hub thus costs 10⁸ shuffle ROWS (spread across
+    partitions) but never one 10⁸-element array in a single task."""
     e = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -84,19 +89,42 @@ def core_decomposition_hindex(graph: EdgeGraph, max_rounds: int = 64) -> DataFra
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    x = sym.groupBy(F.col("src").alias("node")).agg(
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("val")
+    )
+    # degree histogram is O(distinct degrees) rows — driver-safe; H0 is
+    # the max h with ≥ h nodes of degree ≥ h
+    hist = sorted(
+        ((r["val"], r["c"]) for r in
+         deg.groupBy("val").agg(F.count(F.lit(1)).alias("c")).collect()),
+        reverse=True,
+    )
+    tot, h0 = 0, 0
+    for v, c in hist:
+        tot += c
+        h0 = max(h0, min(int(v), tot))
+    x = deg.select(
+        "node", F.least("val", F.lit(h0)).cast("long").alias("val")
     ).localCheckpoint(eager=True)
+    fold = """
+        aggregate(ps,
+                  struct(cast(0 as bigint) as cum, cast(0 as bigint) as best),
+                  (acc, p) -> struct(acc.cum + p.c,
+                                     greatest(acc.best, least(p.w, acc.cum + p.c))),
+                  acc -> acc.best)"""
     for _ in range(max_rounds):
-        nb = (
-            sym.join(x.withColumnRenamed("node", "dst").withColumnRenamed("val", "nval"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sort_array(F.collect_list("nval"), asc=False).alias("vals"))
+        cnts = (
+            sym.join(
+                x.withColumnRenamed("node", "src").withColumnRenamed("val", "nval"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), F.col("nval").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-        new = nb.select(
-            "node",
-            F.expr("cast(size(filter(transform(vals, (v, i) -> v >= i + 1), b -> b)) as long)").alias("val"),
-        ).localCheckpoint(eager=True)
+        pairs = cnts.groupBy("node").agg(
+            F.sort_array(F.collect_list(F.struct("w", "c")), asc=False).alias("ps")
+        )
+        new = pairs.select("node", F.expr(fold).alias("val")).localCheckpoint(eager=True)
         changed = (
             new.join(x.withColumnRenamed("val", "old"), "node")
             .where(F.col("val") != F.col("old"))

@@ -76,7 +76,7 @@ def pagerank(
 
         return pagerank_blob(
             graph, damp=damp, tol=tol, max_iter=max_iter,
-            num_parts=num_parts, checkpointer=checkpointer,
+            num_parts=num_parts, checkpointer=checkpointer, hub_cap=hub_cap,
         )
 
     sym = graph.sym()

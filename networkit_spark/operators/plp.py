@@ -20,10 +20,14 @@ to the partition count (SURVEY.md §2.5.3).  Tests assert the reference's
 invariants (partition exactly covers the node set) plus exact equality
 with a NumPy oracle implementing the same synchronous rule.
 
-The reference's active-set bookkeeping (``:97-105``) is a compute
-optimization: a node whose neighborhood labels didn't change re-derives
-the same label, so recomputing all nodes per sweep is semantically
-identical; nUpdated still drives termination.
+The reference's active-set bookkeeping (``:97-105``) is mirrored as a
+FRONTIER SEMI-JOIN (sql impl): after the first sweep, only receivers
+adjacent to a node whose label changed ("touched") re-derive their
+label, from their FULL neighborhood (exact — not incremental weight
+deltas, which would accumulate float residues).  A node none of whose
+neighbors changed re-derives the label it already has, so restricting
+the recompute preserves synchronous-sweep semantics exactly while the
+per-sweep cost collapses to O(Σ deg(touched)) in late sweeps.
 """
 
 from __future__ import annotations
@@ -90,18 +94,34 @@ def plp(
             )
         labels = ckpt.step(labels, 0)
 
+    frontier = None  # None ⇒ full sweep (first iteration / after resume)
     while True:
         t0 = time.time()
         it += 1
-        msgs = labels.select("node", F.col("label").cast("double").alias("value"))
         if impl == "csr":
+            msgs = labels.select("node", F.col("label").cast("double").alias("value"))
             lw = prepared.gather(msgs, OP_LABEL_WSUM)
         else:
-            lw = (
-                sym.join(msgs.withColumnRenamed("node", "src"), "src")
-                .groupBy(
-                    F.col("dst").alias("node"), F.col("value").cast("long").alias("label")
+            gather_edges = sym
+            if frontier is not None:
+                # receivers adjacent to a changed node; everyone else
+                # provably re-derives its current label (see module doc)
+                touched = (
+                    sym.join(frontier.withColumnRenamed("node", "src"), "src", "leftsemi")
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
                 )
+                gather_edges = sym.join(
+                    touched.withColumnRenamed("node", "dst"), "dst", "leftsemi"
+                )
+            lw = (
+                gather_edges.join(
+                    labels.select(
+                        F.col("node").alias("src"), F.col("label")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"), "label")
                 .agg(F.sum("weight").alias("wsum"))
             )
         heavy = _heaviest(lw)
@@ -113,6 +133,7 @@ def plp(
         new_labels = ckpt.step(new_labels, it, wall_ms=(time.time() - t0) * 1e3)
         updated = new_labels.where("chg").count()
         ckpt.history[-1]["delta"] = updated
+        frontier = new_labels.where("chg").select("node")
         labels = new_labels.select("node", "label")
         if updated <= theta or (max_iter is not None and it >= max_iter):
             labels = ckpt.step(labels, it, delta=updated, force_durable=True)

@@ -88,3 +88,18 @@ def test_components_blob_long_path(spark):
     g = EdgeGraph.from_edges(edges_df(spark, edges))
     labels = {r["label"] for r in connected_components(g, impl="blob", num_parts=4).collect()}
     assert labels == {0}
+
+
+def test_hub_salted_matches_unsalted(spark):
+    """A star-heavy graph with a forced tiny hub_cap routes the hub's
+    adjacency through the salted two-stage loop; result must equal the
+    unsalted fused loop bit-for-bit (same slab algebra, different
+    placement)."""
+    # hub 0 with 40 spokes + a tail community
+    edges = [(0, i) for i in range(1, 41)] + [(41, 42), (42, 43), (40, 41)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    ref = _scores(pagerank_blob(g, tol=1e-10, num_parts=4), 44)
+    salted = _scores(pagerank_blob(g, tol=1e-10, num_parts=4, hub_cap=8), 44)
+    assert np.allclose(ref, salted, atol=1e-14)
+    want = pagerank_oracle(44, edges, tol=1e-10)
+    assert np.allclose(salted, want, atol=1e-6)

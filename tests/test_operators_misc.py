@@ -256,3 +256,20 @@ def test_parallel_matching(spark):
     eset = {(min(u, v), max(u, v)) for u, v in edges}
     free = set(range(6)) - set(used)
     assert not any((min(u, v), max(u, v)) in eset for u in free for v in free if u < v)
+
+
+def test_core_decomposition_hindex_star(spark):
+    """Star + clique: the hub's coreness comes out right through the
+    H0-clamped, list-free path (clamp = degeneracy bound is exact)."""
+    from networkit_spark.operators.kcore import (
+        core_decomposition,
+        core_decomposition_hindex,
+    )
+
+    star = [(0, i) for i in range(1, 30)]
+    clique = [(i, j) for i in range(30, 34) for j in range(i + 1, 34)]
+    g = EdgeGraph.from_edges(edges_df(spark, star + clique + [(1, 30)]))
+    peel = {r["node"]: r["core"] for r in core_decomposition(g).collect()}
+    hix = {r["node"]: r["core"] for r in core_decomposition_hindex(g).collect()}
+    assert peel == hix
+    assert hix[0] == 1 and hix[30] == 3
