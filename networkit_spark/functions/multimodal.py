@@ -16,11 +16,22 @@ Schema convention:
 from __future__ import annotations
 
 import hashlib
+import sys
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 import pyspark.sql.types as T
+
+# the mapInPandas closures call module-level ``decode_image``; ship the
+# module by value so executors don't need the package on PYTHONPATH
+# (same idiom as ``linkgraph/superstep.py``)
+try:  # pragma: no cover - depends on pyspark internals
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 MEDIA_SCHEMA = T.StructType(
     [

@@ -26,9 +26,21 @@ constructor functions.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+# ``_ego_components`` crosses the driver→executor boundary via
+# applyInPandas; ship the module by value so executors don't need the
+# package on PYTHONPATH (same idiom as ``linkgraph/superstep.py``).
+try:  # pragma: no cover - depends on pyspark internals
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 from networkit_spark.graph import EdgeGraph, assign_dense_ids
 from networkit_spark.operators.plp import plp
@@ -61,14 +73,19 @@ def ego_splitting(
     graph: EdgeGraph,
     global_algo=None,
     max_iter: int = 16,
+    min_community_size: int = 5,
 ) -> DataFrame:
-    """Returns the Cover: (node, label), possibly multiple rows per node."""
+    """Returns the Cover: (node, label), possibly multiple rows per node.
+
+    Communities smaller than ``min_community_size`` are discarded, matching
+    the reference's post-pass (``EgoSplitting.cpp:804-812``, min_size=5) —
+    singleton personas otherwise dominate the cover on sparse graphs."""
     spark = graph.spark
     e = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -89,7 +106,11 @@ def ego_splitting(
     singletons = all_nbrs.join(comps.select("ego", "member"), ["ego", "member"], "left_anti").select(
         "ego", "member", F.col("member").alias("rep")
     )
-    membership = comps.unionByName(singletons).persist()
+    # localCheckpoint: `membership` (and below, `pid` / the persona edges)
+    # each appear 2-3× in downstream joins — without plan truncation the
+    # logical tree grows multiplicatively and Catalyst spends minutes just
+    # stringifying it per job (observed 500 s CPU in generateTreeString)
+    membership = comps.unionByName(singletons).localCheckpoint(eager=True)
 
     # persona ids: global ascending rank of (ego, rep) — assigned with
     # per-partition offsets (assign_dense_ids), no single-partition sort
@@ -98,7 +119,7 @@ def ego_splitting(
         F.col("_k.ego").alias("ego"),
         F.col("_k.rep").alias("rep"),
         F.col("id").alias("pid"),
-    )
+    ).localCheckpoint(eager=True)
     memb_pid = membership.join(pid, ["ego", "rep"]).select("ego", "member", "pid")
 
     # each edge (u,v) → one persona edge: (persona of u containing v,
@@ -117,6 +138,7 @@ def ego_splitting(
             F.greatest("pid_u", "pid_v").alias("dst"),
             F.lit(1.0).alias("weight"),
         )
+        .localCheckpoint(eager=True)
     )
     persona_graph = EdgeGraph(pe, directed=False, weighted=True)
 
@@ -128,8 +150,14 @@ def ego_splitting(
         .select(F.col("ego").alias("node"), "label")
         .distinct()
     )
-    e.unpersist()
-    membership.unpersist()
+    if min_community_size > 1:
+        big = (
+            cover.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .where(F.col("_sz") >= min_community_size)
+            .select("label")
+        )
+        cover = cover.join(big, "label").select("node", "label")
     return cover
 
 

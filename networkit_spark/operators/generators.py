@@ -85,6 +85,177 @@ def watts_strogatz(
     )
 
 
+def barabasi_albert(
+    spark: SparkSession, n: int, k: int = 4, n0: int | None = None, seed: int = 42
+) -> EdgeGraph:
+    """Barabási-Albert preferential attachment
+    (``cpp/generators/BarabasiAlbertGenerator.h:19``: k edges per new
+    node, nMax nodes, n0 seed nodes) via the Batagelj-Brandes linear
+    method: the target of attachment edge e is a uniformly sampled slot
+    of the edge array built so far — picking an ODD slot (a previous
+    target) chains until an even slot (a source, deterministic), which
+    realizes degree-proportional sampling without any sequential RNG
+    state.  All randomness is splitmix64(seed, e) — vectorized numpy in
+    ``mapInPandas``, identical at any parallelism.  Seed graph: circle
+    on n0 nodes.  Multi-edges collapse (weighted_dedup='first'),
+    matching the reference's simple-graph output."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    n0 = n0 if n0 is not None else k
+    assert 1 <= n0 <= n
+    M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def mix(x: "np.ndarray") -> "np.ndarray":
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & M64
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & M64
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & M64
+        return x ^ (x >> np.uint64(31))
+
+    def pos_of(e: "np.ndarray") -> "np.ndarray":
+        # uniform slot in [0, 2e) for attachment edge e (e ≥ n0)
+        u = mix(e.astype(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B1))
+        return ((u % np.uint64(1 << 62)).astype(np.float64) / float(1 << 62) * (2 * e)).astype(np.int64)
+
+    def src_of(e: "np.ndarray") -> "np.ndarray":
+        return np.where(e < n0, e, n0 + (e - n0) // k)
+
+    def gen(it):
+        for pdf in it:
+            e = pdf["id"].to_numpy(np.int64)  # attachment edge indices ≥ n0
+            v = src_of(e)
+            pos = pos_of(e)
+            target = np.full(len(e), -1, dtype=np.int64)
+            live = np.arange(len(e))
+            while len(live):
+                p = pos[live]
+                i = p // 2
+                even = p % 2 == 0
+                target[live[even]] = src_of(i[even])
+                odd = ~even
+                oi = i[odd]
+                seed_edge = oi < n0
+                tgt_rows = live[odd]
+                target[tgt_rows[seed_edge]] = (oi[seed_edge] + 1) % n0
+                chase = tgt_rows[~seed_edge]
+                pos[chase] = pos_of(oi[~seed_edge])
+                live = chase
+            yield pd.DataFrame({"src": v, "dst": target})
+
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    )
+    attach = spark.range(n0, n0 + (n - n0) * k).mapInPandas(gen, schema)
+    circle = spark.range(n0).select(
+        F.col("id").alias("src"), F.pmod(F.col("id") + 1, F.lit(n0)).alias("dst")
+    )
+    e = attach.unionByName(circle).where(F.col("src") != F.col("dst")).withColumn(
+        "weight", F.lit(1.0)
+    )
+    return EdgeGraph(canonicalize(e, weighted_dedup="first"), directed=False, weighted=False)
+
+
+def powerlaw_degree_sequence(
+    spark: SparkSession, n: int, gamma: float = 2.5,
+    dmin: int = 2, dmax: int | None = None, seed: int = 42,
+):
+    """(id, deg) — bounded-Pareto inverse-CDF sample of a power-law
+    degree sequence (``PowerlawDegreeSequence``, pyx:2591 surface);
+    deterministic per (seed, id)."""
+    dmax = dmax or max(int(n ** 0.5), dmin + 1)
+    u = _uniform(seed, "id")
+    a, b, g1 = float(dmin), float(dmax), gamma - 1.0
+    inv = (
+        F.lit(1.0)
+        - u * (1.0 - (a / b) ** g1)
+    )
+    deg = F.floor(F.lit(a) * F.pow(inv, F.lit(-1.0 / g1))).cast("long")
+    return spark.range(n).select("id", F.least(deg, F.lit(int(dmax))).alias("deg"))
+
+
+def lfr(
+    spark: SparkSession,
+    n: int,
+    tau1: float = 2.5,
+    tau2: float = 1.5,
+    mu: float = 0.1,
+    dmin: int = 4,
+    dmax: int | None = None,
+    smin: int = 20,
+    smax: int = 100,
+    seed: int = 42,
+):
+    """LFR-style community benchmark graph with ground truth
+    (``cpp/generators/LFRGenerator.h:23`` surface): power-law degrees
+    (exponent tau1), power-law community sizes (tau2), mixing parameter
+    mu = expected fraction of a node's edges leaving its community.
+
+    Deterministic Chung-Lu variant: internal edges pair (1-mu)-scaled
+    degree weights within each community, external edges pair mu-scaled
+    weights across the whole graph — E[deg] matches the drawn sequence
+    and E[external fraction] = mu, the two properties the LFR quality
+    benchmarks score against.  (The reference rewires a configuration
+    model; expected-degree pairing is the order-free analog.)
+
+    Returns ``(EdgeGraph, truth)`` with truth = (node, label).
+    Pair enumeration is per-community O(s²) + cross O(n²) with a
+    cheap hash filter — benchmark-fixture scale by design.
+    """
+    import hashlib
+
+    # community sizes: bounded-Pareto, driver-side (#communities rows)
+    sizes = []
+    total = 0
+    i = 0
+    g1 = tau2 - 1.0
+    while total < n:
+        u = int(hashlib.md5(f"{seed}:cs:{i}".encode()).hexdigest()[:12], 16) / float(1 << 48)
+        s = int(smin * (1.0 - u * (1.0 - (smin / smax) ** g1)) ** (-1.0 / g1))
+        s = min(s, smax, n - total) if n - total >= smin else n - total
+        sizes.append(s)
+        total += s
+        i += 1
+    bounds, lo = [], 0
+    for c, s in enumerate(sizes):
+        bounds.append((c, lo, lo + s))
+        lo += s
+    comm = spark.createDataFrame(bounds, "label long, lo long, hi long")
+    degs = powerlaw_degree_sequence(spark, n, gamma=tau1, dmin=dmin, dmax=dmax, seed=seed)
+    nodes = degs.join(
+        F.broadcast(comm),
+        (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")),
+    ).select("id", "deg", "label")
+    wint = (F.col("deg") * (1.0 - mu)).alias("wi")
+    wext = (F.col("deg") * mu).alias("we")
+    nd = nodes.select("id", "label", wint, wext).persist()
+    # internal: Chung-Lu within community
+    sint = nd.groupBy("label").agg(F.sum("wi").alias("si"))
+    a = nd.select(F.col("id").alias("src"), F.col("label"), F.col("wi").alias("wa"))
+    b = nd.select(F.col("id").alias("dst"), F.col("label"), F.col("wi").alias("wb"))
+    internal = (
+        a.join(b, "label")
+        .where(F.col("src") < F.col("dst"))
+        .join(F.broadcast(sint), "label")
+        .where(_uniform(seed + 7, "src", "dst") < F.least(F.col("wa") * F.col("wb") / F.col("si"), F.lit(1.0)))
+        .select("src", "dst")
+    )
+    # external: Chung-Lu across communities
+    se = nd.agg(F.sum("we")).collect()[0][0] or 1.0
+    ax = nd.select(F.col("id").alias("src"), F.col("label").alias("la"), F.col("we").alias("wa"))
+    bx = nd.select(F.col("id").alias("dst"), F.col("label").alias("lb"), F.col("we").alias("wb"))
+    external = (
+        ax.crossJoin(bx)
+        .where((F.col("src") < F.col("dst")) & (F.col("la") != F.col("lb")))
+        .where(_uniform(seed + 13, "src", "dst") < F.least(F.col("wa") * F.col("wb") / F.lit(se), F.lit(1.0)))
+        .select("src", "dst")
+    )
+    e = internal.unionByName(external).withColumn("weight", F.lit(1.0))
+    truth = nd.select(F.col("id").alias("node"), "label")
+    g = EdgeGraph(canonicalize(e, weighted_dedup="first"), directed=False, weighted=False)
+    return g, truth
+
+
 def rmat(
     spark: SparkSession,
     scale: int,

@@ -76,3 +76,129 @@ def top_predictions(graph: EdgeGraph, k: int = 10, index: str = "jaccard") -> Da
         .orderBy(F.desc(index), F.asc("u"), F.asc("v"))
         .limit(k)
     )
+
+
+def katz_index_scores(
+    graph: EdgeGraph,
+    pairs: DataFrame,
+    max_path_length: int = 5,
+    damping: float = 0.005,
+) -> DataFrame:
+    """KatzIndex over a candidate pair list (``cpp/linkprediction/
+    KatzIndex.cpp:34-61``, defaults ``KatzIndex.h:65``): from the
+    lower-degree endpoint s, expand the SET frontier F_l = N(F_{l-1})
+    for l = 1..maxPathLength and accumulate
+    ``score(end) += damping^l · |N(end) ∩ F_{l-1}|`` — the reference's
+    per-round hit counting (frontiers are de-duplicated node sets, not
+    walk multisets).  All start nodes advance together: one frontier
+    DataFrame keyed (start, node) — a multi-source BFS shape, L joins
+    total, no per-pair loop.
+
+    pairs: (u, v); returns (u, v, katz)."""
+    e = graph.edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    p = (
+        pairs.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u", "left")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v", "left")
+        .select(
+            "u", "v",
+            F.when(F.coalesce("du", F.lit(0)) > F.coalesce("dv", F.lit(0)), F.col("v"))
+            .otherwise(F.col("u")).alias("start"),
+            F.when(F.coalesce("du", F.lit(0)) > F.coalesce("dv", F.lit(0)), F.col("u"))
+            .otherwise(F.col("v")).alias("end"),
+        )
+        .persist()
+    )
+    frontier = p.select("start", F.col("start").alias("node")).distinct()
+    total = None
+    for l in range(1, max_path_length + 1):
+        hits = (
+            sym.join(frontier.withColumnRenamed("node", "src"), "src")
+            .groupBy("start", F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        contrib = hits.select(
+            "start", "node", (F.lit(float(damping) ** l) * F.col("cnt")).alias("sc")
+        )
+        total = contrib if total is None else total.unionByName(contrib)
+        total = total.groupBy("start", "node").agg(F.sum("sc").alias("sc")).localCheckpoint(eager=True)
+        frontier = hits.select("start", "node")
+    out = (
+        p.join(
+            total.withColumnRenamed("node", "end").withColumnRenamed("sc", "katz"),
+            ["start", "end"],
+            "left",
+        )
+        .select("u", "v", F.coalesce("katz", F.lit(0.0)).alias("katz"))
+    )
+    sym.unpersist()
+    return out
+
+
+def train_test_split_edges(
+    graph: EdgeGraph, test_frac: float = 0.2, seed: int = 42
+) -> tuple[EdgeGraph, DataFrame]:
+    """Deterministic hash split: (train graph, held-out positives(u, v)).
+    The standard link-prediction evaluation protocol
+    (``cpp/linkprediction/RandomLinkSampler``-style, hash-seeded)."""
+    e = graph.edges.where(F.col("src") != F.col("dst"))
+    u = (F.abs(F.xxhash64(F.lit(seed), "src", "dst")) % 1_000_000_007) / 1_000_000_007.0
+    test = e.where(u < test_frac).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    train = e.where(u >= test_frac)
+    return EdgeGraph(train, graph.directed, graph.weighted), test
+
+
+def _curve_base(scored: DataFrame, positives: DataFrame, score_col: str) -> DataFrame:
+    """Cumulative TP/FP per prediction in score-desc order (the
+    reference's per-threshold statistics, ``EvaluationMetric.cpp``
+    setPositivesAndNegatives + threshold sweep)."""
+    from pyspark.sql.window import Window
+
+    lab = scored.join(
+        positives.select("u", "v", F.lit(1).alias("is_pos")), ["u", "v"], "left"
+    ).select(
+        F.col(score_col).alias("score"), F.coalesce("is_pos", F.lit(0)).alias("is_pos")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    return lab.select(
+        "score",
+        F.sum("is_pos").over(w).alias("tp"),
+        F.sum(1 - F.col("is_pos")).over(w).alias("fp"),
+        F.sum("is_pos").over(Window.partitionBy()).alias("P"),
+        F.sum(1 - F.col("is_pos")).over(Window.partitionBy()).alias("N"),
+    )
+
+
+def roc_curve(scored: DataFrame, positives: DataFrame, score_col: str = "jaccard") -> DataFrame:
+    """(fpr, tpr) points (``ROCMetric::generatePoints``): tpr = TP/P,
+    fpr = FP/N per threshold, keeping the LAST tpr at duplicate fpr."""
+    base = _curve_base(scored, positives, score_col)
+    pts = base.groupBy((F.col("fp") / F.col("N")).alias("fpr")).agg(
+        F.max(F.col("tp") / F.col("P")).alias("tpr")
+    )
+    return pts.orderBy("fpr")
+
+
+def pr_curve(scored: DataFrame, positives: DataFrame, score_col: str = "jaccard") -> DataFrame:
+    """(recall, precision) points (``PrecisionRecallMetric::
+    generatePoints``), last precision kept at duplicate recall."""
+    base = _curve_base(scored, positives, score_col)
+    pts = base.groupBy((F.col("tp") / F.col("P")).alias("recall")).agg(
+        F.min(F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision")
+    )
+    return pts.orderBy("recall")
+
+
+def auc(curve: DataFrame, x_col: str = "fpr", y_col: str = "tpr") -> float:
+    """Trapezoidal area under a (small, collected) curve — the scalar
+    the reference exposes via ``EvaluationMetric::getAreaUnderCurve``."""
+    pts = sorted((r[x_col], r[y_col]) for r in curve.collect())
+    if not pts:
+        return 0.0
+    pts = [(0.0, 0.0)] + pts if pts[0][0] > 0 else pts
+    area = 0.0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        area += (x1 - x0) * (y0 + y1) / 2.0
+    return area

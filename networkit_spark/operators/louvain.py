@@ -14,10 +14,14 @@ Reference (``cpp/community/PLM.cpp:29``, 400 LoC; the default of
 The reference moves asynchronously under OpenMP (non-deterministic);
 this engine moves SYNCHRONOUSLY (all gains computed against the
 previous sweep's labels) with deterministic tie-breaks (largest gain,
-then smallest community id).  Synchronous parallel moves can swap pairs
-endlessly on symmetric graphs, so a move is applied only when the gain
-is strictly positive and sweeps are capped; determinism across
-partition counts is tested.
+then smallest community id).  Synchronous moves oscillate: two adjacent
+singletons each adopt the OTHER's community in the same sweep and the
+pair swaps forever (the classic sync label-propagation 2-cycle), which
+stalls aggregation.  The standard distributed-Louvain remedy is applied:
+sweeps alternate a deterministic node-hash PARITY gate — only half the
+nodes may move per sweep, so one side of every would-be swap holds
+still and absorbs the other.  Gains are still required strictly
+positive; determinism across partition counts is tested.
 
 Spark shape per sweep: 3 aggregations (community volumes; per-(node,
 neighbor-community) affinities; argmax) — all whole-stage-codegen
@@ -50,7 +54,8 @@ def _local_moving(graph: EdgeGraph, gamma: float, max_sweeps: int) -> DataFrame:
         F.col("id").alias("node"), F.col("id").alias("label")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_sweeps):
+    zero_streak = 0
+    for sweep in range(max_sweeps):
         cvol = labels.join(vol, "node").groupBy("label").agg(F.sum("vol").alias("cvol"))
         # affinity of u to each neighboring community (self-loops excluded)
         aff = (
@@ -85,8 +90,12 @@ def _local_moving(graph: EdgeGraph, gamma: float, max_sweeps: int) -> DataFrame:
                 ).alias("gain"),
             )
         )
-        best = cand.where(F.col("gain") > 1e-12).groupBy("node").agg(
-            F.expr("min_by(cand, struct(-gain, cand))").alias("new_label")
+        parity_ok = F.pmod(F.xxhash64(F.lit(17), F.col("node")), F.lit(2)) == F.lit(sweep % 2)
+        best = (
+            cand.where(F.col("gain") > 1e-12)
+            .where(parity_ok)
+            .groupBy("node")
+            .agg(F.expr("min_by(cand, struct(-gain, cand))").alias("new_label"))
         )
         new_labels = labels.join(best, "node", "left").select(
             "node",
@@ -95,7 +104,10 @@ def _local_moving(graph: EdgeGraph, gamma: float, max_sweeps: int) -> DataFrame:
         ).localCheckpoint(eager=True)
         moved = new_labels.where("chg").count()
         labels = new_labels.select("node", "label")
-        if moved == 0:
+        # a zero sweep only proves one parity class is stable — stop
+        # after BOTH classes pass without a move
+        zero_streak = zero_streak + 1 if moved == 0 else 0
+        if zero_streak >= 2:
             break
     sym.unpersist()
     vol.unpersist()
@@ -121,6 +133,13 @@ def plm(
             break
         prev_comms = n_comms
         g, _ = coarsen_by_partition(g, labels)
+        # materialize the coarse edge table: the next level's sweeps must
+        # not re-derive it through the whole lower-level lineage each job
+        # (persist+count, not localCheckpoint — the latter wedges the JVM
+        # when interleaved with the sweep loop's own checkpoints)
+        coarse_edges = g.edges.persist()
+        coarse_edges.count()
+        g = EdgeGraph(coarse_edges, g.directed, g.weighted)
 
     final = level_maps[0]
     for nxt in level_maps[1:]:

@@ -15,7 +15,7 @@ BOWTIE = [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (0, 4)]
 
 def test_bowtie_overlap(spark):
     g = EdgeGraph.from_edges(edges_df(spark, BOWTIE))
-    cover = ego_splitting(g)
+    cover = ego_splitting(g, min_community_size=1)
     rows = {}
     for r in cover.collect():
         rows.setdefault(r["node"], set()).add(r["label"])
@@ -31,7 +31,7 @@ def test_bowtie_overlap(spark):
 
 def test_cover_f1(spark):
     g = EdgeGraph.from_edges(edges_df(spark, BOWTIE))
-    cover = ego_splitting(g)
+    cover = ego_splitting(g, min_community_size=1)
     truth = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 0), (0, 1), (3, 1), (4, 1)], "node long, label long"
     )
@@ -47,6 +47,6 @@ def test_clustered_blocks_with_bridge_overlap(spark):
         (3, 4),
     ]
     g = EdgeGraph.from_edges(edges_df(spark, edges))
-    cover = ego_splitting(g)
+    cover = ego_splitting(g, min_community_size=1)
     nodes = {r["node"] for r in cover.collect()}
     assert nodes == set(range(8))

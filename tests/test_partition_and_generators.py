@@ -106,3 +106,52 @@ def test_anf_path_graph(spark):
     assert 50 <= ests[-1] <= 200
     ed = effective_diameter_approx(g, ratio=0.9, max_h=12, num_trials=24)
     assert 4 <= ed <= 10  # true eff. diameter ~8 on a 10-node path
+
+
+def test_barabasi_albert_powerlaw_tail(spark):
+    from networkit_spark.operators.generators import barabasi_albert
+
+    g = barabasi_albert(spark, n=1500, k=4)
+    deg = g.degrees()
+    n = g.num_nodes()
+    assert n > 1400
+    mx = deg.agg(F.max("deg")).collect()[0][0]
+    med = deg.approxQuantile("deg", [0.5], 0.0)[0]
+    # preferential attachment: heavy tail — the max degree is an order
+    # of magnitude above the median; an ER graph of equal density is not
+    assert mx >= 10 * med
+    # determinism at different parallelism
+    e1 = sorted(map(tuple, g.edges.collect()))
+    g2 = barabasi_albert(spark, n=1500, k=4)
+    e2 = sorted(map(tuple, g2.edges.repartition(32).collect()))
+    assert e1 == e2
+
+
+def test_lfr_ground_truth_quality(spark):
+    """LFR benchmark harness (the fork's egosplit evaluation protocol):
+    generate with ground truth, detect, score NMI / F1."""
+    from networkit_spark.operators.generators import lfr
+    from networkit_spark.operators.louvain import plm
+    from networkit_spark.operators.plp import plp
+    from networkit_spark.operators.partition_similarity import nmi
+    from networkit_spark.operators.egosplit import ego_splitting, cover_f1
+
+    # average degree ~18, like the published LFR benchmark configs; at the
+    # generator default (~6) ego-nets are near-edgeless and ego-splitting
+    # degenerates by construction (for every implementation, incl. the ref)
+    g, truth = lfr(spark, n=400, mu=0.1, dmin=12, dmax=40, smin=30, smax=80, seed=3)
+    truth = truth.persist()
+    # mixing parameter is realized: external edge fraction ≈ mu
+    t = truth
+    lab = (
+        g.edges.join(t.withColumnRenamed("node", "src").withColumnRenamed("label", "ls"), "src")
+        .join(t.withColumnRenamed("node", "dst").withColumnRenamed("label", "ld"), "dst")
+    )
+    ext = lab.where("ls != ld").count() / lab.count()
+    assert 0.03 <= ext <= 0.2
+    det = plm(g, max_sweeps=8, max_levels=6)
+    score = nmi(det, truth.join(det.select("node"), "node", "leftsemi"))
+    assert score >= 0.75, score
+    cov = ego_splitting(g)
+    f1 = cover_f1(cov, truth.join(cov.select("node").distinct(), "node", "leftsemi"))
+    assert f1 >= 0.8, f1
