@@ -40,3 +40,35 @@ def coarsen_by_partition(graph: EdgeGraph, labels: DataFrame) -> tuple[EdgeGraph
         .agg(F.sum("weight").alias("weight"))
     )
     return EdgeGraph(coarse, graph.directed, graph.weighted), labels
+
+
+def coarsen_by_matching(
+    graph: EdgeGraph, matching: DataFrame, no_self_loops: bool = True
+) -> tuple[EdgeGraph, DataFrame]:
+    """MatchingCoarsening (``cpp/coarsening/MatchingCoarsening.cpp:16-56``):
+    contract each matched pair into one coarse node; unmatched nodes
+    carry over.  ``matching``: (src, dst) pairs (e.g. from
+    ``forest.parallel_matching``).
+
+    The coarse id of a pair is the SMALLER endpoint's id (the reference
+    assigns the carried-over vertex's slot: ``v < mate`` keeps v); dense
+    0..cn-1 ids, when needed, come from ``graph.densify_ids`` — same
+    convention as ``coarsen_by_partition``.  ``no_self_loops`` drops
+    the contracted edges themselves (the reference's noSelfLoops)."""
+    m = matching.select(
+        F.least("src", "dst").alias("rep"), F.greatest("src", "dst").alias("other")
+    )
+    labels = (
+        graph.vertices()
+        .select(F.col("id").alias("node"))
+        .join(m.select(F.col("other").alias("node"), "rep"), "node", "left")
+        .select("node", F.coalesce("rep", F.col("node")).alias("label"))
+    )
+    coarse, mapping = coarsen_by_partition(graph, labels)
+    if no_self_loops:
+        coarse = EdgeGraph(
+            coarse.edges.where(F.col("src") != F.col("dst")),
+            coarse.directed,
+            coarse.weighted,
+        )
+    return coarse, mapping

@@ -138,3 +138,285 @@ def global_threshold_filter(
     return EdgeGraph(
         graph.edges.join(keep, ["src", "dst"], "leftsemi"), graph.directed, graph.weighted
     )
+
+
+def scan_score(graph: EdgeGraph) -> DataFrame:
+    """SCANStructuralSimilarityScore
+    (``sparsification/SCANStructuralSimilarityScore.cpp:10-16``):
+    per edge (u,v): (triangles + 1) / sqrt((deg u + 1)·(deg v + 1)) —
+    the SCAN structural similarity with both endpoints counted into
+    their own neighborhoods."""
+    tri = triangle_counts(graph)
+    e = graph.edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        tri.join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                (F.col("triangles") + 1)
+                / F.sqrt((F.col("sdeg") + 1) * (F.col("ddeg") + 1))
+            ).alias("score"),
+        )
+    )
+
+
+def chance_corrected_triangle_score(graph: EdgeGraph) -> DataFrame:
+    """ChanceCorrectedTriangleScore
+    (``sparsification/ChanceCorrectedTriangleScore.cpp:22-28``):
+    triangles·(n-2) / ((deg u - 1)·(deg v - 1)) when the edge closes a
+    triangle; 1.0 for edges pendant at either end; else 0."""
+    n = graph.num_nodes()
+    tri = triangle_counts(graph)
+    e = graph.edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        tri.join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(
+                F.col("triangles") > 0,
+                F.col("triangles") * F.lit(float(n - 2))
+                / ((F.col("sdeg") - 1) * (F.col("ddeg") - 1)),
+            )
+            .when((F.col("sdeg") == 1) | (F.col("ddeg") == 1), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+
+
+def multiscale_score(graph: EdgeGraph, scores: DataFrame | None = None) -> DataFrame:
+    """MultiscaleScore (``sparsification/MultiscaleScore.cpp:14-63``,
+    Serrano-Boguñá multiscale backbone): per endpoint u, normalize the
+    attribute over N(u) (p = a_uv / Σ a_u·) and score the edge
+    1 - (1-p)^(deg u - 1) — the probability a uniform null produces a
+    weight that large; the edge keeps the max over its two endpoint
+    views.  ``scores`` defaults to the edge weight."""
+    if scores is None:
+        scores = graph.edges.where(F.col("src") != F.col("dst")).select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("weight").cast("double").alias("score"),
+        ).groupBy("src", "dst").agg(F.first("score").alias("score"))
+    sym = scores.unionByName(
+        scores.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score")
+    )
+    agg = sym.groupBy("src").agg(
+        F.sum("score").alias("ssum"), F.count(F.lit(1)).alias("deg")
+    )
+    side = sym.join(agg, "src").select(
+        "src",
+        "dst",
+        # deg==1 ⇒ p=1 and (1-p)^0 = 1 ⇒ score 0, as in the reference
+        (1.0 - F.pow(1.0 - F.col("score") / F.col("ssum"), F.col("deg") - 1)).alias(
+            "side_score"
+        ),
+    )
+    return (
+        side.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "side_score",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("side_score").alias("score"))
+    )
+
+
+def local_similarity_score(graph: EdgeGraph) -> DataFrame:
+    """LocalSimilarityScore (``sparsification/LocalSimilarityScore.cpp:
+    17-66``): per node i, rank neighbors by edge Jaccard
+    tri/(deg i + deg j - tri) descending; the edge's sparsification
+    exponent from i's view is 1 - log(rank)/log(deg i) (1.0 when
+    deg i == 1); the edge keeps the max over both views."""
+    tri = triangle_counts(graph)
+    e = graph.edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    tri_sym = tri.unionByName(
+        tri.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "triangles")
+    )
+    ann = (
+        tri_sym.join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+        .withColumn(
+            "sim", F.col("triangles") / (F.col("sdeg") + F.col("ddeg") - F.col("triangles"))
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    ranked = ann.withColumn("rnk", F.row_number().over(w)).select(
+        "src",
+        "dst",
+        F.when(
+            F.col("sdeg") > 1, 1.0 - F.log("rnk") / F.log(F.col("sdeg").cast("double"))
+        )
+        .otherwise(F.lit(1.0))
+        .alias("side_score"),
+    )
+    return (
+        ranked.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "side_score",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("side_score").alias("score"))
+    )
+
+
+def simmelian_overlap_score(graph: EdgeGraph, max_rank: int = 10) -> DataFrame:
+    """SimmelianOverlapScore (parametric Simmelian backbone,
+    ``sparsification/SimmelianOverlapScore.cpp:16-31`` +
+    ``SimmelianScore.cpp:16-74``): rank each node's neighbors by
+    per-edge triangle count descending (competition ranking, rank 0
+    best, ties share); the edge score is the number of common neighbors
+    both endpoints place within rank ≤ max_rank (each endpoint
+    excluded).  Shape: two per-node window ranks + one equi-join on the
+    shared neighbor — no quadratic blowup; hubs cost O(deg·log deg) in
+    their own partition."""
+    tri = triangle_counts(graph)
+    tri_sym = tri.unionByName(
+        tri.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "triangles")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("triangles"))
+    top = (
+        tri_sym.withColumn("rnk", F.rank().over(w) - 1)
+        .where(F.col("rnk") <= max_rank)
+        .select("src", "dst")
+    )
+    e = tri.select("src", "dst")
+    a = top.select(F.col("src").alias("src"), F.col("dst").alias("z"))
+    b = top.select(F.col("src").alias("dst"), F.col("dst").alias("z"))
+    shared = (
+        e.join(a, "src")
+        .join(b, ["dst", "z"])
+        .where((F.col("z") != F.col("src")) & (F.col("z") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return e.join(shared, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce(F.col("overlap").cast("double"), F.lit(0.0)).alias("score")
+    )
+
+
+def forest_fire_score(
+    graph: EdgeGraph,
+    pf: float = 0.7,
+    target_burnt_ratio: float = 5.0,
+    fires_per_round: int = 64,
+    seed: int = 42,
+    max_rounds: int = 64,
+    max_steps: int = 32,
+) -> DataFrame:
+    """ForestFireScore (``sparsification/ForestFireScore.cpp:19-90``):
+    repeatedly start fires at random nodes; an active node burns a
+    Geometric(pf)-distributed number of not-yet-visited neighbors
+    (per-fire visited set); an edge's score is its burn count divided
+    by the max burn count.  Fires run until the total number of burnt
+    edges reaches ``target_burnt_ratio × m``.
+
+    Spark shape: fires run in BATCHES as supersteps — state is the
+    (fire, node) frontier plus a (fire, node) visited set; each
+    superstep expands every active fire one hop.  All randomness is
+    hash-keyed (seed, fire, node, neighbor): deterministic at any
+    parallelism.  The reference's one-at-a-time queue becomes
+    level-synchronous burning, which preserves the score's
+    distributional meaning (burn frequency under the same local
+    geometric rule)."""
+    spark = graph.spark
+    e = graph.edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    m = e.count()
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    verts = sym.select(F.col("src").alias("id")).distinct().persist()
+
+    def u01(*cols):
+        h = F.conv(F.substring(F.md5(F.concat_ws(":", *cols)), 1, 13), 16, 10).cast("double")
+        return h / float(16**13)
+
+    burnt = None  # (src, dst, cnt)
+    total_burnt = 0
+    for rnd in range(max_rounds):
+        if total_burnt >= target_burnt_ratio * m:
+            break
+        # the source node id doubles as the fire id (sources are distinct
+        # within a round) — deterministic at any parallelism
+        sources = (
+            verts.orderBy(u01(F.lit(seed), F.lit(f"src:{rnd}"), "id"))
+            .limit(fires_per_round)
+            .select(F.col("id").alias("fire"), F.col("id").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = sources
+        visited = sources
+        for step in range(max_steps):
+            cand = (
+                frontier.join(sym.withColumnRenamed("src", "node"), "node")
+                .select("fire", "node", F.col("dst").alias("nbr"))
+                .join(
+                    visited.withColumnRenamed("node", "nbr"), ["fire", "nbr"], "left_anti"
+                )
+            )
+            # geometric burn budget per (fire, node): X with P(X>=j)=pf^j
+            budget = F.floor(
+                F.log(u01(F.lit(seed), F.lit(f"g:{rnd}:{step}"), "fire", "node"))
+                / F.log(F.lit(float(pf)))
+            )
+            wsel = Window.partitionBy("fire", "node").orderBy(
+                u01(F.lit(seed), F.lit(f"s:{rnd}:{step}"), "fire", "node", "nbr")
+            )
+            sel = (
+                cand.withColumn("rnk", F.row_number().over(wsel))
+                .where(F.col("rnk") <= budget)
+                .select("fire", "node", "nbr")
+                .localCheckpoint(eager=True)
+            )
+            if sel.isEmpty():
+                break
+            burnt_round = sel.select(
+                F.least("node", "nbr").alias("src"),
+                F.greatest("node", "nbr").alias("dst"),
+                F.lit(1).alias("cnt"),
+            )
+            burnt = (
+                burnt_round
+                if burnt is None
+                else burnt.unionByName(burnt_round)
+                .groupBy("src", "dst")
+                .agg(F.sum("cnt").alias("cnt"))
+            ).localCheckpoint(eager=True)
+            total_burnt += sel.count()
+            new_nodes = (
+                sel.select("fire", F.col("nbr").alias("node"))
+                .distinct()
+                .join(visited, ["fire", "node"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(new_nodes).localCheckpoint(eager=True)
+            frontier = new_nodes
+            if frontier.isEmpty():
+                break
+
+    if burnt is None:
+        return e.select("src", "dst", F.lit(0.0).alias("score"))
+    mx = burnt.agg(F.max("cnt")).collect()[0][0] or 1
+    out = e.join(burnt, ["src", "dst"], "left").select(
+        "src", "dst", (F.coalesce("cnt", F.lit(0)) / F.lit(float(mx))).alias("score")
+    )
+    sym.unpersist()
+    verts.unpersist()
+    return out

@@ -1,0 +1,85 @@
+"""DGS dynamic-graph-stream file reader.
+
+Format (``cpp/io/DGSReader.cpp:15-126``, DGS004): magic line
+``DGS004``; one header line (name, clock ticks, #events); then one
+event per line:
+
+- ``st``             — clock tick (advances the batch counter)
+- ``an <name> [...]``— add node (names map to dense ids in
+                       first-appearance order, like the reference's
+                       ``nodeNames`` map)
+- ``ae <ename> <from> <to>`` — add edge, weight 1.0
+- ``ce <from>-<to> weight=<w>`` — set edge weight
+- ``dn <name>``      — remove node
+- ``de <from>-<to>`` — remove edge
+
+The reader returns the EVENTS TABLE (``streaming/events.py``
+EVENT_SCHEMA: batch, kind, u, v, w) plus the name→id mapping.  Parsing
+is driver-side: DGS is an inherently sequential script (ids are
+assigned by first appearance, ``st`` ticks order the batches), and
+event scripts are driver-scale artifacts — the distributed object is
+the events DataFrame this produces, which ``apply_events`` /
+``incremental_components`` / ``incremental_pagerank`` consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from networkit_spark.streaming.events import (
+    EDGE_ADDITION,
+    EDGE_REMOVAL,
+    EDGE_WEIGHT_UPDATE,
+    EVENT_SCHEMA,
+)
+
+NODE_ADDITION = "NODE_ADDITION"
+NODE_REMOVAL = "NODE_REMOVAL"
+
+
+def read_dgs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(events, names)``: events per EVENT_SCHEMA, names as
+    ``(name string, id long)``."""
+    with open(path) as fh:
+        first = fh.readline().strip()
+        if first != "DGS004":
+            raise ValueError(
+                f"not a DGS004 file (first line {first!r}); the reference "
+                "requires the magic cookie (DGSReader.cpp:29-33)"
+            )
+        fh.readline()  # header line: name / clock count / event count
+        names: dict[str, int] = {}
+        rows = []
+        batch = 0
+
+        def nid(name: str) -> int:
+            if name not in names:
+                names[name] = len(names)
+            return names[name]
+
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "st":
+                batch += 1
+            elif tag == "an" and len(parts) >= 2:
+                rows.append((batch, NODE_ADDITION, nid(parts[1]), -1, 0.0))
+            elif tag == "ae" and len(parts) >= 4:
+                rows.append((batch, EDGE_ADDITION, nid(parts[2]), nid(parts[3]), 1.0))
+            elif tag == "ce" and len(parts) == 3:
+                a, b = parts[1].split("-")
+                w = float(parts[2].split("=")[1])
+                rows.append((batch, EDGE_WEIGHT_UPDATE, nid(a), nid(b), w))
+            elif tag == "dn" and len(parts) == 2:
+                rows.append((batch, NODE_REMOVAL, nid(parts[1]), -1, 0.0))
+            elif tag == "de" and len(parts) == 2:
+                a, b = parts[1].split("-")
+                rows.append((batch, EDGE_REMOVAL, nid(a), nid(b), 0.0))
+
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    names_df = spark.createDataFrame(
+        [(k, v) for k, v in names.items()], "name string, id long"
+    )
+    return events, names_df

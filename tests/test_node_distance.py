@@ -1,0 +1,93 @@
+"""AlgebraicDistance vs an exact NumPy replay (same hash init) and
+CommuteTimeDistance vs the Laplacian pseudo-inverse."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.operators.node_distance import (
+    algebraic_distance_edge_scores,
+    algebraic_distance_loads,
+    commute_time_distance,
+)
+
+from .conftest import edges_df
+
+EDGES = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+
+
+def _u01(*parts):
+    s = ":".join(str(p) for p in parts)
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16) / float(16**13)
+
+
+def test_algebraic_distance_matches_numpy_replay(spark):
+    n, K, iters, omega, seed = 7, 4, 12, 0.5, 42
+    g = EdgeGraph.from_edges(edges_df(spark, EDGES))
+    adj = {i: set() for i in range(n)}
+    for a, b in EDGES:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    loads = np.array([[_u01(seed, "ad", u, s) for s in range(K)] for u in range(n)])
+    for _ in range(iters):
+        new = np.empty_like(loads)
+        for u in range(n):
+            avg = np.mean([loads[v] for v in adj[u]], axis=0)
+            new[u] = (1 - omega) * loads[u] + omega * avg
+        loads = new
+    mn, mx = loads.min(axis=0), loads.max(axis=0)
+    loads = (mn - loads) / (mn - mx)
+
+    got = algebraic_distance_loads(
+        g, num_systems=K, num_iterations=iters, omega=omega, seed=seed
+    ).collect()
+    for r in got:
+        assert r["load"] == pytest.approx(loads[r["node"], r["sys"]], abs=1e-12)
+
+    scores = {
+        (r["src"], r["dst"]): r["score"]
+        for r in algebraic_distance_edge_scores(
+            g, num_systems=K, num_iterations=iters, omega=omega, seed=seed
+        ).collect()
+    }
+    for a, b in EDGES:
+        want = np.max(np.abs(loads[a] - loads[b]))
+        assert scores[(a, b)] == pytest.approx(want, abs=1e-12)
+
+
+def test_algebraic_distance_dense_cluster_closer(spark):
+    # two triangles joined by one bridge: intra-triangle distances are
+    # smaller than the bridge distance (the operator's defining property)
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    s = {
+        (r["src"], r["dst"]): r["score"]
+        for r in algebraic_distance_edge_scores(g, num_systems=8, num_iterations=30).collect()
+    }
+    intra = max(v for k, v in s.items() if k != (2, 3))
+    assert s[(2, 3)] > intra
+
+
+def test_commute_time_distance_vs_pinv(spark):
+    n = 7
+    g = EdgeGraph.from_edges(edges_df(spark, EDGES))
+    L = np.zeros((n, n))
+    for a, b in EDGES:
+        L[a, a] += 1
+        L[b, b] += 1
+        L[a, b] -= 1
+        L[b, a] -= 1
+    Lp = np.linalg.pinv(L)
+    vol = 2.0 * len(EDGES)
+
+    pairs = [(0, 6), (1, 4), (0, 2), (2, 5)]
+    pdf = spark.createDataFrame(pairs, "u long, v long")
+    got = {(r["u"], r["v"]): r["ectd"] for r in commute_time_distance(g, pdf).collect()}
+    for u, v in pairs:
+        reff = Lp[u, u] - 2 * Lp[u, v] + Lp[v, v]
+        want = np.sqrt(reff * vol)
+        assert got[(u, v)] == pytest.approx(want, rel=1e-6), (u, v)
