@@ -72,12 +72,29 @@ def katz_centrality(
     beta: float = 0.1,
     tol: float = 1e-8,
     max_iter: int | None = 1000,
+    init_scores: DataFrame | None = None,
 ) -> DataFrame:
-    """(node, score) — Katz index, L2-normalized like the reference."""
+    """(node, score) — Katz index, L2-normalized like the reference.
+
+    ``init_scores`` (node, score) warm-starts the fixed-point iteration
+    ``x ← αAx + β`` — the map is a contraction to the unique fixed point
+    for α < 1/λ_max, so any init converges; a previous converged vector
+    gets there in a handful of supersteps (the DynKatzCentrality resume
+    path, ``cpp/centrality/DynKatzCentrality.h``)."""
     sym = graph.sym().persist()
-    scores = graph.vertices().select(
-        F.col("id").alias("node"), F.lit(0.0).alias("score")
-    ).localCheckpoint(eager=True)
+    if init_scores is not None:
+        verts = graph.vertices()
+        scores = (
+            verts.join(init_scores, verts["id"] == init_scores["node"], "left")
+            .select(
+                verts["id"].alias("node"),
+                F.coalesce("score", F.lit(0.0)).alias("score"),
+            )
+        ).localCheckpoint(eager=True)
+    else:
+        scores = graph.vertices().select(
+            F.col("id").alias("node"), F.lit(0.0).alias("score")
+        ).localCheckpoint(eager=True)
     it = 0
     while True:
         it += 1

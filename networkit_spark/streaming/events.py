@@ -164,6 +164,30 @@ def incremental_pagerank(
     return new_graph, ranks
 
 
+def incremental_katz(
+    graph: EdgeGraph,
+    prev_scores: DataFrame,
+    events: DataFrame,
+    alpha: float = 5e-4,
+    beta: float = 0.1,
+    tol: float = 1e-8,
+) -> tuple[EdgeGraph, DataFrame]:
+    """DynKatzCentrality: apply the event batch, then resume the Katz
+    fixed-point iteration ``x ← αAx + β`` warm-started from the previous
+    converged scores. The map is a contraction for α < 1/λ_max, so a
+    nearby start (small event batch) converges in a handful of
+    supersteps — the Spark-native analogue of the reference's
+    incremental bound maintenance (``cpp/centrality/DynKatzCentrality.h:30``);
+    equivalence with cold recompute is the test contract."""
+    from networkit_spark.operators.spectral import katz_centrality
+
+    new_graph = apply_events(graph, events)
+    scores = katz_centrality(
+        new_graph, alpha=alpha, beta=beta, tol=tol, init_scores=prev_scores
+    )
+    return new_graph, scores
+
+
 def streaming_hourly_counts(spark, source_dir: str, checkpoint_dir: str):
     """Structured Streaming: readStream (parquet source) → 10-minute
     watermark → 1-hour tumbling window per event_type → memory sink.

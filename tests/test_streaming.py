@@ -114,3 +114,21 @@ def test_overview(spark):
     assert o["nodes"] == 5 and o["edges"] == 4 and o["components"] == 2
     assert o["max_degree"] == 2 and o["self_loops"] == 0
     assert o["global_clustering"] > 0
+
+
+def test_incremental_katz_matches_cold(spark):
+    """Warm-started DynKatz converges to the cold-recompute fixed point
+    (x ← αAx + β is a contraction for α < 1/λ_max, so the fixed point is
+    unique and warm/cold starts agree)."""
+    from networkit_spark.operators.spectral import katz_centrality
+    from networkit_spark.streaming.events import incremental_katz
+
+    base = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0), (0, 2, 1.0)]
+    g = EdgeGraph.from_edges(edges_df(spark, base))
+    s0 = katz_centrality(g, alpha=0.05, tol=1e-12)
+    ev = _ev(spark, [(1, EDGE_ADDITION, 1, 3, 1.0)])
+    g2, warm = incremental_katz(g, s0, ev, alpha=0.05, tol=1e-12)
+    cold = katz_centrality(g2, alpha=0.05, tol=1e-12)
+    w = {r["node"]: r["score"] for r in warm.collect()}
+    c = {r["node"]: r["score"] for r in cold.collect()}
+    assert all(abs(w[i] - c[i]) < 1e-6 for i in range(4))
