@@ -290,6 +290,73 @@ def _q_bfs(spark, sf_dir):
     return bfs(g, src)
 
 
+def _q_mapeq_score(spark, sf_dir):
+    """Two-level map-equation codelength L(M) of the customer/part/
+    supplier partition (scalar; §2.9 LouvainMapEquation's objective)."""
+    from networkit_spark.operators.mapequation import map_equation
+
+    g = tpch_link_graph(spark, sf_dir)
+    kind = g.vertices().select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") < 1_000_000, F.lit(0))
+        .when(F.col("id") < 2_000_000, F.lit(1))
+        .otherwise(F.lit(2)).cast("long").alias("label"),
+    )
+    L = map_equation(g, kind)
+    return spark.createDataFrame([(round(L, 6),)], "map_equation double")
+
+
+def _q_mapequation(spark, sf_dir):
+    """LouvainMapEquation community labels — rows-only (iterative
+    synchronous local moving; no ANSI-SQL fixpoint).  Quality is
+    pytest-verified (codelength decreases, planted partitions recovered)."""
+    from networkit_spark.operators.mapequation import louvain_map_equation
+
+    g = tpch_link_graph(spark, sf_dir)
+    return louvain_map_equation(g, max_iterations=4).orderBy("node")
+
+
+def _q_jaccard_bb(spark, sf_dir):
+    """Per-edge neighborhood-Jaccard backbone score (§2.12
+    JaccardSimilarityAttributizer)."""
+    from networkit_spark.operators.sparsification import jaccard_score
+
+    g = tpch_link_graph(spark, sf_dir)
+    return jaccard_score(g).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
+def _q_dynbfs(spark, sf_dir):
+    """DynBFS (§2.11): warm-start hop distances after an event batch
+    adding a (min-node, max-node) shortcut edge.  Oracle = static BFS on
+    the augmented graph — dyn ≡ static is the Dyn* test contract."""
+    from networkit_spark.operators.bfs import bfs
+    from networkit_spark.streaming.dyndist import incremental_sssp
+
+    g = tpch_link_graph(spark, sf_dir)
+    mm = g.vertices().agg(F.min("id"), F.max("id")).collect()[0]
+    src, far = mm[0], mm[1]
+    d0 = bfs(g, src)
+    ev = spark.createDataFrame(
+        [(1, "EDGE_ADDITION", src, far, 1.0)],
+        "batch long, kind string, u long, v long, w double",
+    )
+    _, d1 = incremental_sssp(g, src, d0, ev, hops=True)
+    return d1.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def _q_ba_degrees(spark, sf_dir):
+    """BarabasiAlbert generator (§2.13) degree histogram at a fixed seed
+    — rows-only (the generator's hash-RNG is deterministic but not
+    ANSI-SQL); preferential attachment's heavy tail is pytest-asserted."""
+    from networkit_spark.operators.generators import barabasi_albert
+
+    g = barabasi_albert(spark, n=2000, k=3, seed=7)
+    deg = g.degrees().select("node", "deg")
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes")).orderBy("deg")
+
+
 def _q_kcore(spark, sf_dir):
     """Core decomposition (iterated H-index fixpoint) — rows-only (no
     ANSI-SQL fixpoint); exactness pytest-verified on golden fixtures and
@@ -427,6 +494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred": _q_linkpred,
         "graph_modularity_kind": _q_modularity_kind,
         "graph_bfs": _q_bfs,
+        "graph_mapeq_score": _q_mapeq_score,
+        "graph_mapequation": _q_mapequation,
+        "graph_jaccard_bb": _q_jaccard_bb,
+        "graph_dynbfs": _q_dynbfs,
+        "graph_ba_degrees": _q_ba_degrees,
         "graph_kcore": _q_kcore,
         "graph_plm": _q_plm,
         "graph_egosplit": _q_egosplit,
@@ -675,9 +747,13 @@ buckets AS (
          md5(array_to_string(list_sort(list(h || ':' || minhash)), ',')) AS bucket
   FROM sig GROUP BY doc_id, h // 3
 ),
+small AS (
+  SELECT band, bucket FROM buckets GROUP BY band, bucket HAVING COUNT(*) <= 1000
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  JOIN small s ON a.band = s.band AND a.bucket = s.bucket
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -785,6 +861,90 @@ reach(node, dist) AS (
   WHERE r.dist < 30
 )
 SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+""",
+        "graph_dynbfs": f"""
+WITH RECURSIVE {_GRAPH_CTES},
+mm AS (SELECT MIN(node) AS s, MAX(node) AS t FROM nodes),
+sym2 AS (
+  SELECT u, v FROM sym
+  UNION ALL SELECT s, t FROM mm
+  UNION ALL SELECT t, s FROM mm
+),
+reach(node, dist) AS (
+  SELECT s, CAST(0 AS BIGINT) FROM mm
+  UNION
+  SELECT sy.v, r.dist + 1
+  FROM reach r JOIN sym2 sy ON sy.u = r.node
+  WHERE r.dist < 30
+)
+SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+""",
+        "graph_mapeq_score": f"""
+WITH {_GRAPH_CTES},
+vol AS (
+  SELECT u AS node,
+         SUM(w) + SUM(CASE WHEN u = v THEN w ELSE 0 END) AS vol
+  FROM sym GROUP BY u
+),
+tot AS (SELECT SUM(vol) AS tv FROM vol),
+lab AS (
+  SELECT node,
+         CASE WHEN node < 1000000 THEN 0
+              WHEN node < 2000000 THEN 1 ELSE 2 END AS label
+  FROM vol
+),
+ccut AS (
+  SELECT ls.label AS label, SUM(s.w) AS ccut
+  FROM sym s JOIN lab ls ON s.u = ls.node JOIN lab ld ON s.v = ld.node
+  WHERE s.u <> s.v AND ls.label <> ld.label
+  GROUP BY ls.label
+),
+cvol AS (
+  SELECT l.label, SUM(v.vol) AS cvol
+  FROM lab l JOIN vol v ON l.node = v.node GROUP BY l.label
+),
+cstats AS (
+  SELECT cvol.label, cvol.cvol, COALESCE(ccut.ccut, 0) AS ccut
+  FROM cvol LEFT JOIN ccut ON cvol.label = ccut.label
+),
+terms AS (
+  SELECT
+    (SELECT SUM(ccut) FROM cstats) AS q,
+    (SELECT SUM(CASE WHEN ccut > 0 THEN (ccut / tv) * ln(ccut / tv) ELSE 0 END)
+       FROM cstats, tot) AS sum_cut,
+    (SELECT SUM(CASE WHEN ccut + cvol > 0
+                     THEN ((ccut + cvol) / tv) * ln((ccut + cvol) / tv) ELSE 0 END)
+       FROM cstats, tot) AS sum_cut_vol,
+    (SELECT SUM(CASE WHEN vol > 0 THEN (vol / tv) * ln(vol / tv) ELSE 0 END)
+       FROM vol, tot) AS sum_node,
+    (SELECT tv FROM tot) AS tv
+)
+SELECT ROUND(
+  CASE WHEN q > 0 THEN (q / tv) * ln(q / tv) ELSE 0 END
+  - 2 * sum_cut + sum_cut_vol - sum_node, 6) AS map_equation
+FROM terms
+""",
+        "graph_jaccard_bb": f"""
+WITH {_GRAPH_CTES},
+e AS (SELECT src, dst FROM edges),
+t AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS src, b AS dst FROM t
+  UNION ALL SELECT a, c FROM t
+  UNION ALL SELECT b, c FROM t
+),
+cnt AS (SELECT src, dst, COUNT(*) AS triangles FROM corners GROUP BY src, dst),
+tri AS (
+  SELECT e.src, e.dst, COALESCE(cnt.triangles, 0) AS triangles
+  FROM e LEFT JOIN cnt ON e.src = cnt.src AND e.dst = cnt.dst
+),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u)
+SELECT tri.src, tri.dst,
+       ROUND(CAST(triangles AS DOUBLE) / (ds.deg + dd.deg - triangles), 6) AS score
+FROM tri JOIN deg ds ON tri.src = ds.node JOIN deg dd ON tri.dst = dd.node
 """,
         "doc_bpe_count": r"""
 SELECT doc_id,

@@ -120,6 +120,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — LSH candidates (≥1 shared band bucket)
     verified with exact n-gram Jaccard ≥ threshold.
@@ -127,12 +128,27 @@ def minhash_lsh_pairs(
     Bands of ``band_size`` rows: bucket key = md5 of the band's minhash
     vector.  With k=12, b=4, r=3 the S-curve crosses ~0.5 — pairs well
     below threshold are rarely candidates, so the verify join is small.
+
+    ``max_bucket`` drops band buckets with more than that many members
+    from candidate generation — a degenerate corpus (one giant bucket of
+    boilerplate) would otherwise revert the self-join to O(|bucket|²).
+    Members of an over-cap bucket are near-identical by construction and
+    are the exact-dedup path's job (``exact_duplicate_groups``).  The
+    identical cap appears in the DuckDB oracle (HAVING COUNT(*) <= cap).
     """
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
     banded = sig.withColumn("band", (F.col("h") / band_size).cast("int"))
     buckets = banded.groupBy(id_col, "band").agg(
         F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", F.col("h").cast("string"), F.col("minhash").cast("string")))))).alias("bucket")
     )
+    if max_bucket is not None:
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, ["band", "bucket"])
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -140,8 +156,15 @@ def minhash_lsh_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
-    # exact verification on candidates only
+    # Exact verification on candidates only.  The candidate set is the
+    # small side of the verify join against the full shingle table —
+    # broadcast it when it fits (one cheap count on the persisted set;
+    # AQE would also catch this, but the hint removes the shuffle of the
+    # big shingle relation deterministically).
+    if cand.count() <= 2_000_000:
+        cand = F.broadcast(cand)
     s = shingles(df, text_col, id_col, n)
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = s.select(F.col(id_col).alias("id_a"), "shingle")
