@@ -173,6 +173,50 @@ def densify_ids(edges: DataFrame, key_cols: tuple[str, str] = ("src", "dst")) ->
     return out, id_map
 
 
+def index_edges(edges: DataFrame) -> DataFrame:
+    """``Graph::indexEdges`` analog: edges + dense 0-based ``edge_id``
+    in ascending ``(src, dst)`` order.
+
+    Same per-partition-offset scheme as ``assign_dense_ids`` — range
+    repartition on the composite key, parallel per-partition ranks,
+    broadcast cumulative offsets; never a global single-partition
+    window.  ``compactEdges`` (close id holes after deletions) is
+    re-running this on the surviving edges.
+    """
+    keyed = edges.withColumn("_ekey", F.struct("src", "dst"))
+    ids = assign_dense_ids(keyed.select("_ekey").distinct(), key_col="_ekey")
+    return (
+        keyed.join(ids.withColumnRenamed("id", "edge_id"), "_ekey")
+        .drop("_ekey")
+    )
+
+
+def random_nodes(graph: "EdgeGraph", k: int = 1, seed: int = 42) -> list:
+    """``GraphTools::randomNode(s)`` — ``k`` distinct uniform nodes at a
+    fixed seed.  Ranks nodes by ``xxhash64(seed, id)`` and takes the
+    first ``k`` — a distributed TakeOrdered; only the winners reach the
+    driver, never the node set."""
+    rows = (
+        graph.vertices()
+        .orderBy(F.xxhash64(F.lit(seed), F.col("id")))
+        .limit(k)
+        .collect()
+    )
+    return [r["id"] for r in rows]
+
+
+def random_edges(graph: "EdgeGraph", k: int = 1, seed: int = 42) -> list:
+    """``GraphTools::randomEdge(s)`` (uniform=True flavor) — ``k``
+    distinct uniform edges at a fixed seed, as (src, dst) tuples."""
+    rows = (
+        graph.edges
+        .orderBy(F.xxhash64(F.lit(seed), F.col("src"), F.col("dst")))
+        .limit(k)
+        .collect()
+    )
+    return [(r["src"], r["dst"]) for r in rows]
+
+
 @dataclass
 class EdgeGraph:
     """A graph as an edge DataFrame (+ lazily derived views).

@@ -179,13 +179,12 @@ class PageRankBlobEngine:
 
     def __init__(self, graph: EdgeGraph, num_parts: int | None = None,
                  blob_root: str | None = None, blob_dir: str | None = None,
-                 hub_cap: int = 1 << 20):
+                 hub_cap: int | None = None):
         spark = graph.spark
         self.spark = spark
         if num_parts is None:
             num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.P = P = num_parts
-        self.hub_cap = hub_cap
         import tempfile
 
         if blob_dir is not None:
@@ -226,9 +225,22 @@ class PageRankBlobEngine:
         # hub salting: sources over hub_cap get their adjacency sliced
         # round-robin across partitions (src+1+j) % P; everyone else
         # keeps the zero-routing home partition src % P
-        odeg = sym.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("odeg"))
+        odeg = sym.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("odeg")).persist()
+        stats = odeg.agg(F.sum("odeg").alias("m"), F.max("odeg").alias("dmax")).collect()[0]
+        m_sym, dmax = int(stats["m"] or 0), int(stats["dmax"] or 0)
+        if hub_cap is None:
+            # Load-relative salting policy: the two-stage salted loop
+            # costs ~2-4x per superstep, so it only pays once a single
+            # source's adjacency dominates a task — i.e. exceeds ~2x the
+            # average partition's edge load (the straggler crossover).
+            # An absolute cap (say 1M edges) would salt hubs a partition
+            # absorbs without noticing and tax every superstep; this cap
+            # scales with both the graph and the cluster (P grows, cap
+            # shrinks, exactly when a hub really is a whole-task hotspot).
+            hub_cap = max(1 << 21, (2 * m_sym) // max(P, 1))
+        self.hub_cap = hub_cap
         hubs = odeg.where(F.col("odeg") > hub_cap).select("src", "odeg")
-        self.num_hubs = hubs.count()
+        self.num_hubs = hubs.count() if dmax > hub_cap else 0
         self.salted = self.num_hubs > 0
         if self.salted:
             e = sym.join(F.broadcast(hubs), "src", "left")
@@ -269,6 +281,7 @@ class PageRankBlobEngine:
         edges_p.groupBy("part").applyInPandas(
             lambda pdf: _write_csr(bd, pdf, P), "part int, rows long"
         ).count()
+        odeg.unpersist()
         import json
 
         with open(os.path.join(bd, "meta.json"), "w") as f:

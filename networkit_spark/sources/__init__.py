@@ -6,10 +6,84 @@ KONECT) are supported for fixture parity with the reference readers."""
 from networkit_spark.sources.edgelist import read_edge_list, read_snap, read_konect, write_edge_list
 from networkit_spark.sources.metis import read_metis
 
+#: Format name → reader kwargs preset, the ``networkit.graphio.Format``
+#: dispatch table (``networkit/graphio.py`` readGraph/writeGraph).  Names
+#: are the reference's enum spellings, lower-cased.
+_READERS = {
+    "edgelist": lambda spark, path, **kw: read_edge_list(spark, path, **kw),
+    "edgelisttabzero": lambda spark, path, **kw: read_edge_list(
+        spark, path, separator="\t", first_node=0, **kw
+    ),
+    "edgelisttabone": lambda spark, path, **kw: read_edge_list(
+        spark, path, separator="\t", first_node=1, **kw
+    ),
+    "edgelistspacezero": lambda spark, path, **kw: read_edge_list(
+        spark, path, separator=r"\s+", first_node=0, **kw
+    ),
+    "edgelistspaceone": lambda spark, path, **kw: read_edge_list(
+        spark, path, separator=r"\s+", first_node=1, **kw
+    ),
+    "metis": lambda spark, path, **kw: read_metis(spark, path),
+    "snap": lambda spark, path, **kw: read_snap(spark, path, **kw),
+    "konect": lambda spark, path, **kw: read_konect(spark, path, **kw),
+}
+
+_EXT_TO_FORMAT = {
+    ".graph": "metis",
+    ".metis": "metis",
+    ".edgelist": "edgelist",
+    ".edges": "edgelist",
+    ".txt": "snap",
+    ".konect": "konect",
+}
+
+
+def read_graph(spark, path: str, fmt: str | None = None, **kw):
+    """``readGraph(path, Format.X)`` dispatch (``networkit/graphio.py``):
+    explicit ``fmt`` wins; otherwise the file extension picks the reader.
+    Parquet edge tables short-circuit to the native ``spark.read``."""
+    from networkit_spark.graph import EdgeGraph
+    from pyspark.sql import functions as F  # noqa: F401  (parity import)
+
+    if fmt is None:
+        low = path.lower()
+        if low.endswith(".parquet") or low.endswith(".pq"):
+            return EdgeGraph.from_edges(spark.read.parquet(path))
+        for ext, name in _EXT_TO_FORMAT.items():
+            if low.endswith(ext):
+                fmt = name
+                break
+        else:
+            raise ValueError(f"cannot infer graph format from {path!r}; pass fmt=")
+    key = fmt.lower().replace("_", "").replace("-", "")
+    if key.endswith(".parquet") or key == "parquet":
+        return EdgeGraph.from_edges(spark.read.parquet(path))
+    if key not in _READERS:
+        raise ValueError(f"unknown graph format {fmt!r} (known: {sorted(_READERS)})")
+    return _READERS[key](spark, path, **kw)
+
+
+def write_graph(graph, path: str, fmt: str | None = None, **kw) -> None:
+    """``writeGraph`` dispatch: edge-list text or parquet (the native
+    sink).  METIS write is a documented non-goal (COVERAGE §2.2)."""
+    key = (fmt or ("parquet" if path.lower().endswith((".parquet", ".pq")) else "edgelist"))
+    key = key.lower().replace("_", "").replace("-", "")
+    if key == "parquet":
+        graph.edges.write.mode("overwrite").parquet(path)
+        return
+    if key.startswith("edgelist"):
+        sep = "\t" if ("tab" in key or key == "edgelist") else " "
+        write_edge_list(graph, path, separator=sep, **kw)
+        return
+    raise ValueError(f"unknown graph sink format {fmt!r}")
+
+
 __all__ = [
     "read_edge_list",
     "read_snap",
     "read_konect",
     "write_edge_list",
     "read_metis",
+    "read_graph",
+    "write_graph",
 ]

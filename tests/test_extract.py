@@ -118,3 +118,37 @@ def test_assign_dense_ids_partition_equivalence(spark):
         assert got == expected
     plan = assign_dense_ids(keys, "key", num_parts=8)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_index_edges_dense_and_deterministic(spark):
+    """indexEdges: dense 0-based ids, deterministic = (src,dst) rank,
+    stable under re-partitioning (no single-partition global window)."""
+    from networkit_spark.graph import EdgeGraph, index_edges
+    from tests.conftest import edges_df
+
+    pairs = [(5, 9), (0, 1), (3, 4), (0, 7), (2, 3)]
+    g = EdgeGraph.from_edges(edges_df(spark, pairs))
+    idx = index_edges(g.edges)
+    got = {(r["src"], r["dst"]): r["edge_id"] for r in idx.collect()}
+    want = {p: i for i, p in enumerate(sorted(pairs))}
+    assert got == want
+    # repartitioned input → identical ids
+    idx2 = index_edges(g.edges.repartition(7))
+    got2 = {(r["src"], r["dst"]): r["edge_id"] for r in idx2.collect()}
+    assert got2 == want
+
+
+def test_random_nodes_edges_seeded(spark):
+    """Sampling primitives: deterministic per seed, distinct, uniform-ish
+    (different seeds pick different winners on a big enough set)."""
+    from networkit_spark.graph import EdgeGraph, random_edges, random_nodes
+    from tests.conftest import edges_df
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(i, i + 1) for i in range(50)]))
+    a = random_nodes(g, k=5, seed=1)
+    b = random_nodes(g, k=5, seed=1)
+    c = random_nodes(g, k=5, seed=2)
+    assert a == b and len(set(a)) == 5
+    assert a != c
+    e1 = random_edges(g, k=3, seed=1)
+    assert e1 == random_edges(g, k=3, seed=1) and len(set(e1)) == 3

@@ -103,3 +103,38 @@ def test_writers_roundtrip(spark, tmp_path):
     write_partition(labels, str(tmp_path / "part"))
     back = read_partition(spark, str(tmp_path / "part"))
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, labels.collect()))
+
+
+def test_read_graph_dispatch(spark, tmp_path):
+    """readGraph/writeGraph Format dispatch (networkit/graphio.py):
+    extension inference, explicit fmt, parquet native path, roundtrip."""
+    from networkit_spark.sources import read_graph, write_graph
+
+    p = tmp_path / "d.edgelist"
+    p.write_text("0 1\n1 2 2.5\n")
+    g = read_graph(spark, str(p))  # inferred: edgelist
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert rows == {(0, 1): 1.0, (1, 2): 2.5}
+
+    m = tmp_path / "d.graph"  # inferred: metis (1-based adjacency)
+    m.write_text("3 2\n2\n1 3\n2\n")
+    gm = read_graph(spark, str(m))
+    assert gm.num_edges() == 2
+
+    gs = read_graph(spark, str(p), fmt="edgelist_space_zero")
+    assert gs.num_edges() == 2
+
+    out = tmp_path / "out.edgelist"
+    write_graph(g, str(out), fmt="edgelist")
+    g2 = read_graph(spark, str(out), fmt="edgelist")
+    rows2 = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert rows2 == rows
+
+    pq = tmp_path / "out.parquet"
+    write_graph(g, str(pq))  # parquet inferred from extension
+    g3 = read_graph(spark, str(pq))
+    rows3 = {(r["src"], r["dst"]): r["weight"] for r in g3.edges.collect()}
+    assert rows3 == rows
+
+    with pytest.raises(ValueError):
+        read_graph(spark, str(tmp_path / "x.unknownext"))
