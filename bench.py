@@ -56,14 +56,24 @@ def run_headline(spark, sf_dir: str) -> dict:
     results: dict[str, float] = {}
     detail: dict[str, object] = {"edges": m, "edges_sym": m_sym}
 
+    # Partition sizing for the superstep engines: each partition is one
+    # vectorized python worker per stage, so undersized partitions pay
+    # stage overhead and oversubscribe the memory bus (the kernels are
+    # bandwidth-bound, not vCPU-bound).  Target >= ~400k edges per
+    # partition, capped at the core count — at sf0.1 that is 8 parts; on
+    # the 800M-edge scaling store it saturates at the core count.
+    cpus = int(spark.sparkContext.defaultParallelism)
+    sized_parts = max(4, min(cpus, (2 * m) // 400_000))
+    blob_parts = int(os.environ.get("SPARK_GRAFT_BLOB_PARTS", "0")) or sized_parts
+
     # one prepared (hub-salted, CSR-partitioned) graph shared by the
     # iterative kernels — mirrors production, where prepare() runs once
-    prep_s, prepared = timed(lambda: prepare(g.sym()))  # cogroup gather: faster for CC/PLP at this scale
+    prep_s, prepared = timed(lambda: prepare(g.sym(), num_parts=blob_parts))
     results["prepare"] = round(prep_s, 3)
 
     from networkit_spark.linkgraph.blobstep import PageRankBlobEngine
 
-    blob_prep_s, blob_eng = timed(lambda: PageRankBlobEngine(g))
+    blob_prep_s, blob_eng = timed(lambda: PageRankBlobEngine(g, num_parts=blob_parts))
     results["pagerank_prepare"] = round(blob_prep_s, 3)
     pr_s, pr = timed(lambda: blob_eng.run(damp=0.85, tol=1e-6))
     n_rows = pr.count()
@@ -144,9 +154,9 @@ def run_pagerank_only(
         eng = PageRankBlobEngine.attach(spark, blob_dir)
         prep_s = 0.0
         m_sym = sum(
-            int(__import__("numpy").load(os.path.join(blob_dir, f"p{p}_w.npy"), mmap_mode="r").shape[0])
+            int(__import__("numpy").load(os.path.join(blob_dir, f"p{p}_rinv.npy"), mmap_mode="r").shape[0])
             for p in eng.state_parts
-            if os.path.exists(os.path.join(blob_dir, f"p{p}_w.npy"))
+            if os.path.exists(os.path.join(blob_dir, f"p{p}_rinv.npy"))
         )
     else:
         if synthetic:

@@ -123,7 +123,13 @@ def _write_csr(blob_dir: str, pdf: pd.DataFrame, num_parts: int) -> pd.DataFrame
     base = os.path.join(blob_dir, f"p{part}")
     np.save(base + "_row.npy", row_nodes)
     np.save(base + "_indptr.npy", indptr)
-    np.save(base + "_w.npy", w)
+    # Unweighted blocks (all weights 1.0 — the common web-link-graph
+    # case) omit the weight blob entirely: the gather skips the
+    # per-edge multiply AND the store/per-superstep read shrinks by
+    # 8 bytes/edge — at memory-bandwidth-bound superstep throughput
+    # that is a direct speedup, not just disk savings.
+    if not np.all(w == 1.0):
+        np.save(base + "_w.npy", w)
     u, inv = np.unique(dst, return_inverse=True)
     dpart = (u % num_parts).astype(np.int64)
     order2 = np.argsort(dpart, kind="stable")
@@ -383,12 +389,15 @@ class PageRankBlobEngine:
             if os.path.exists(os.path.join(bd, f"p{part}_row.npy")):
                 snodes, invw = _load(bd, part, ("snodes", "invw"))
                 vals = rank_new * invw
-                row_nodes, indptr, w, inv, bounds = _load(
-                    bd, part, ("row", "indptr", "w", "rinv", "rbounds")
+                row_nodes, indptr, inv, bounds = _load(
+                    bd, part, ("row", "indptr", "rinv", "rbounds")
                 )
+                w = _load_opt(bd, part, "w")
                 pos = np.searchsorted(snodes, row_nodes)
                 counts = np.diff(indptr)
-                contrib = np.repeat(vals[pos], counts) * np.asarray(w)
+                contrib = np.repeat(vals[pos], counts)
+                if w is not None:  # weighted block; unweighted skips the multiply
+                    contrib *= np.asarray(w)
                 sums = np.bincount(inv, weights=contrib, minlength=int(bounds[-1]))
                 ridx = _load(bd, part, ("ridx",))[0]
                 for p in range(P):
@@ -556,9 +565,10 @@ class PageRankBlobEngine:
             out = srow.copy() if len(srow) else pdf.iloc[0:0].copy()
             if not os.path.exists(os.path.join(bd, f"p{part}_row.npy")):
                 return out
-            row_nodes, indptr, w, inv, bounds, ridx = _load(
-                bd, part, ("row", "indptr", "w", "rinv", "rbounds", "ridx")
+            row_nodes, indptr, inv, bounds, ridx = _load(
+                bd, part, ("row", "indptr", "rinv", "rbounds", "ridx")
             )
+            w = _load_opt(bd, part, "w")
             row_nodes = np.asarray(row_nodes)
             vals = np.zeros(len(row_nodes))
             hr = _load_opt(bd, part, "hubrecv")
@@ -582,7 +592,9 @@ class PageRankBlobEngine:
                 nonhub = ~ishub
                 vals[nonhub] = lvals[np.searchsorted(snodes, row_nodes[nonhub])]
             counts = np.diff(indptr)
-            contrib = np.repeat(vals, counts) * np.asarray(w)
+            contrib = np.repeat(vals, counts)
+            if w is not None:  # unweighted blocks skip the multiply
+                contrib *= np.asarray(w)
             sums = np.bincount(np.asarray(inv), weights=contrib, minlength=int(bounds[-1]))
             rows = {"key": [], "kind": [], "sender": [], "blob": [],
                     "gathered": [], "delta_sq": [], "rank_sum": []}

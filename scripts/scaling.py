@@ -79,9 +79,7 @@ def main():
         print(json.dumps(summary), flush=True)
 
         nodes, edges = args.synthetic.split(",")
-        md = f"""# BENCH — measured numbers
-
-## Scaling (north rule: N vs 4N parallelism, same job, same input)
+        section = f"""## Scaling (north rule: N vs 4N parallelism, same job, same input)
 
 Protocol: the blob store (per-partition CSR blocks + static state) is
 prepared ONCE from the deterministic synthetic hub-skewed graph
@@ -105,14 +103,20 @@ this under-states the efficiency a real multi-executor cluster sees,
 where prepare-once + O(n)-bytes-per-superstep exchange is the property
 that transfers.
 
-## Headline bench
-
-`python bench.py` (driver-recorded per round as BENCH_r*.json) runs the
-full query set at sf0.1; the per-query seconds live in that JSON.
 """
-        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-            f.write(md)
-        print("wrote BENCH.md")
+        # Replace ONLY the scaling section; keep everything after the
+        # next "## " heading (headline bench, headroom, ...) intact.
+        path = os.path.join(REPO, "BENCH.md")
+        head = "# BENCH — measured numbers\n\n"
+        rest = ""
+        if os.path.exists(path):
+            old = open(path).read()
+            marker = old.find("## Headline bench")
+            if marker >= 0:
+                rest = old[marker:]
+        with open(path, "w") as f:
+            f.write(head + section + rest)
+        print("wrote BENCH.md (scaling section)")
     finally:
         shutil.rmtree(blob_dir, ignore_errors=True)
 
