@@ -74,12 +74,18 @@ def ego_splitting(
     global_algo=None,
     max_iter: int = 16,
     min_community_size: int = 5,
+    cleanup: bool = False,
 ) -> DataFrame:
     """Returns the Cover: (node, label), possibly multiple rows per node.
 
     Communities smaller than ``min_community_size`` are discarded, matching
     the reference's post-pass (``EgoSplitting.cpp:804-812``, min_size=5) —
-    singleton personas otherwise dominate the cover on sparse graphs."""
+    singleton personas otherwise dominate the cover on sparse graphs.
+
+    ``cleanup=True`` pipes the cover through the OSLOM-style significance
+    post-pass — the fork's flagship ``EgoSplitting +
+    SignificanceCommunityCleanUp`` combination (``egosplit/benchmarks``
+    configs pair them; ``cleanup/SignificanceCommunityCleanUp.h``)."""
     spark = graph.spark
     e = (
         graph.edges.where(F.col("src") != F.col("dst"))
@@ -158,6 +164,13 @@ def ego_splitting(
             .select("label")
         )
         cover = cover.join(big, "label").select("node", "label")
+    if cleanup:
+        from networkit_spark.operators.cleanup import significance_cleanup
+
+        cleaned = significance_cleanup(
+            graph, cover.withColumnRenamed("label", "community")
+        )
+        cover = cleaned.select("node", F.col("community").alias("label"))
     return cover
 
 

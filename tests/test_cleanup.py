@@ -92,3 +92,25 @@ def test_left_out_member_is_adopted(spark):
     cover = _cover_df(spark, [(u, 0) for u in range(7)])  # member 7 missing
     out = {r["node"] for r in significance_cleanup(g, cover).collect()}
     assert out == set(range(8))
+
+
+def test_egosplit_cleanup_integration(spark):
+    """The fork's flagship pairing: ego_splitting(cleanup=True) routes
+    the cover through the significance post-pass and keeps recovering
+    the planted overlapping communities."""
+    from networkit_spark.operators.egosplit import cover_f1, ego_splitting
+    from tests.conftest import edges_df
+
+    # two dense 8-cliques sharing node 7 (the overlap), plus a bridge
+    edges = []
+    for base in (0, 7):
+        nodes = list(range(base, base + 8))
+        edges += [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    cov = ego_splitting(g, cleanup=True)
+    truth = spark.createDataFrame(
+        [(i, 0) for i in range(8)] + [(i, 1) for i in range(7, 15)],
+        "node long, label long",
+    )
+    f1 = cover_f1(cov, truth)
+    assert f1 >= 0.8, f1
