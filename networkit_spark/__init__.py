@@ -12,8 +12,24 @@ Reference semantics documented per-operator with ``file:line`` citations
 into the reference tree (see each module's docstring and SURVEY.md).
 """
 
-from networkit_spark.graph import EdgeGraph, symmetrize, degrees, densify_ids
+from networkit_spark.graph import (
+    EdgeGraph,
+    symmetrize,
+    degrees,
+    densify_ids,
+    index_edges,
+    random_edges,
+    random_nodes,
+)
 
-__all__ = ["EdgeGraph", "symmetrize", "degrees", "densify_ids"]
+__all__ = [
+    "EdgeGraph",
+    "symmetrize",
+    "degrees",
+    "densify_ids",
+    "index_edges",
+    "random_edges",
+    "random_nodes",
+]
 
 __version__ = "0.1.0"
