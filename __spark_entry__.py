@@ -49,6 +49,17 @@ sym AS (
 nodes AS (SELECT DISTINCT u AS node FROM sym)
 """
 
+# the customer/part/supplier "kind" partition + per-cluster sizes, shared
+# by the §2.6 quality-measure oracles (ids are densified into 1M bands)
+_KIND_SQL = """
+lab AS (SELECT node,
+               CAST(CASE WHEN node < 1000000 THEN 0
+                         WHEN node < 2000000 THEN 1
+                         ELSE 2 END AS BIGINT) AS label
+        FROM nodes),
+sizes AS (SELECT label, COUNT(*) AS sz FROM lab GROUP BY label)
+"""
+
 _TOKS = r"""
 toks AS (
   SELECT doc_id,
@@ -306,6 +317,82 @@ def _q_mapeq_score(spark, sf_dir):
     return spark.createDataFrame([(round(L, 6),)], "map_equation double")
 
 
+def _kind_labels(g):
+    """The customer/part/supplier 'kind' partition used by the quality
+    gate rows (ids are densified into 1M-wide bands at ingest)."""
+    return g.vertices().select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") < 1_000_000, F.lit(0))
+        .when(F.col("id") < 2_000_000, F.lit(1))
+        .otherwise(F.lit(2)).cast("long").alias("label"),
+    )
+
+
+def _q_hub_dominance(spark, sf_dir):
+    """PartitionHubDominance per cluster of the kind partition (§2.6)."""
+    from networkit_spark.operators.quality import hub_dominance
+
+    g = tpch_link_graph(spark, sf_dir)
+    return hub_dominance(g, _kind_labels(g)).select(
+        "label", F.round("value", 6).alias("value")
+    )
+
+
+def _q_intrapartition_density(spark, sf_dir):
+    """IntrapartitionDensity per cluster of the kind partition (§2.6)."""
+    from networkit_spark.operators.quality import intrapartition_density
+
+    g = tpch_link_graph(spark, sf_dir)
+    return intrapartition_density(g, _kind_labels(g)).select(
+        "label", F.round("value", 6).alias("value")
+    )
+
+
+def _q_iic(spark, sf_dir):
+    """IsolatedInterpartitionConductance per cluster (§2.6)."""
+    from networkit_spark.operators.quality import (
+        isolated_interpartition_conductance,
+    )
+
+    g = tpch_link_graph(spark, sf_dir)
+    return isolated_interpartition_conductance(g, _kind_labels(g)).select(
+        "label", F.round("value", 6).alias("value")
+    )
+
+
+def _q_iie(spark, sf_dir):
+    """IsolatedInterpartitionExpansion per cluster (§2.6)."""
+    from networkit_spark.operators.quality import (
+        isolated_interpartition_expansion,
+    )
+
+    g = tpch_link_graph(spark, sf_dir)
+    return isolated_interpartition_expansion(g, _kind_labels(g)).select(
+        "label", F.round("value", 6).alias("value")
+    )
+
+
+def _q_fragmentation(spark, sf_dir):
+    """PartitionFragmentation per cluster (§2.6) — the kind partition
+    straddles the graph's connected components, so values are > 0."""
+    from networkit_spark.operators.quality import partition_fragmentation
+
+    g = tpch_link_graph(spark, sf_dir)
+    return partition_fragmentation(g, _kind_labels(g)).select(
+        "label", F.round("value", 6).alias("value")
+    )
+
+
+def _q_stable_nodes(spark, sf_dir):
+    """StablePartitionNodes per cluster (§2.6)."""
+    from networkit_spark.operators.quality import stable_partition_nodes
+
+    g = tpch_link_graph(spark, sf_dir)
+    return stable_partition_nodes(g, _kind_labels(g)).select(
+        "label", F.round("value", 6).alias("value")
+    )
+
+
 def _q_mapequation(spark, sf_dir):
     """LouvainMapEquation community labels — rows-only (iterative
     synchronous local moving; no ANSI-SQL fixpoint).  Quality is
@@ -493,6 +580,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "graph_linkpred": _q_linkpred,
         "graph_modularity_kind": _q_modularity_kind,
+        "graph_hub_dominance": _q_hub_dominance,
+        "graph_intra_density": _q_intrapartition_density,
+        "graph_iso_conductance": _q_iic,
+        "graph_iso_expansion": _q_iie,
+        "graph_fragmentation": _q_fragmentation,
+        "graph_stable_nodes": _q_stable_nodes,
         "graph_bfs": _q_bfs,
         "graph_mapeq_score": _q_mapeq_score,
         "graph_mapequation": _q_mapequation,
@@ -849,6 +942,103 @@ cov AS (
 ),
 expd AS (SELECT SUM(cvol * cvol) / ((SELECT m2 FROM twom) * (SELECT m2 FROM twom)) AS expected FROM cvol)
 SELECT ROUND((SELECT coverage FROM cov) - (SELECT expected FROM expd), 6) AS modularity
+""",
+        "graph_hub_dominance": f"""
+WITH {_GRAPH_CTES},
+{_KIND_SQL},
+ideg AS (
+  SELECT la.label AS label, s.u AS node, COUNT(*) AS ideg
+  FROM sym s JOIN lab la ON s.u = la.node JOIN lab lb ON s.v = lb.node
+  WHERE la.label = lb.label GROUP BY la.label, s.u
+),
+mx AS (SELECT label, MAX(ideg) AS mideg FROM ideg GROUP BY label)
+SELECT z.label,
+       ROUND(CASE WHEN z.sz <= 1 THEN 1.0
+                  ELSE COALESCE(m.mideg, 0) * 1.0 / (z.sz - 1) END, 6) AS value
+FROM sizes z LEFT JOIN mx m ON z.label = m.label
+""",
+        "graph_intra_density": f"""
+WITH {_GRAPH_CTES},
+{_KIND_SQL},
+intra AS (
+  SELECT la.label AS label, COUNT(*) AS ie
+  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
+  WHERE la.label = lb.label GROUP BY la.label
+)
+SELECT z.label,
+       ROUND(CASE WHEN z.sz <= 1 THEN 1.0
+                  ELSE COALESCE(i.ie, 0) / (z.sz * (z.sz - 1) / 2.0) END, 6) AS value
+FROM sizes z LEFT JOIN intra i ON z.label = i.label
+""",
+        "graph_iso_conductance": f"""
+WITH {_GRAPH_CTES},
+{_KIND_SQL},
+ev AS (
+  SELECT la.label AS l1, lb.label AS l2, e.weight AS w
+  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
+),
+vol AS (SELECT label, SUM(w) AS vol
+        FROM (SELECT l1 AS label, w FROM ev UNION ALL SELECT l2, w FROM ev)
+        GROUP BY label),
+tot AS (SELECT SUM(vol) AS t FROM vol),
+cut AS (SELECT label, SUM(w) AS cut
+        FROM (SELECT l1 AS label, w FROM ev WHERE l1 <> l2
+              UNION ALL SELECT l2, w FROM ev WHERE l1 <> l2)
+        GROUP BY label)
+SELECT z.label,
+       ROUND(CASE WHEN COALESCE(LEAST(v.vol, (SELECT t FROM tot) - v.vol), 0) <= 0 THEN 0.0
+                  ELSE COALESCE(c.cut, 0) / LEAST(v.vol, (SELECT t FROM tot) - v.vol) END, 6) AS value
+FROM sizes z LEFT JOIN vol v ON z.label = v.label LEFT JOIN cut c ON z.label = c.label
+""",
+        "graph_iso_expansion": f"""
+WITH {_GRAPH_CTES},
+{_KIND_SQL},
+nn AS (SELECT COUNT(*) AS n FROM lab),
+ev AS (
+  SELECT la.label AS l1, lb.label AS l2, e.weight AS w
+  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
+),
+cut AS (SELECT label, SUM(w) AS cut
+        FROM (SELECT l1 AS label, w FROM ev WHERE l1 <> l2
+              UNION ALL SELECT l2, w FROM ev WHERE l1 <> l2)
+        GROUP BY label)
+SELECT z.label,
+       ROUND(COALESCE(c.cut, 0) / LEAST(z.sz, (SELECT n FROM nn) - z.sz), 6) AS value
+FROM sizes z LEFT JOIN cut c ON z.label = c.label
+""",
+        "graph_fragmentation": f"""
+WITH RECURSIVE {_GRAPH_CTES},
+{_KIND_SQL},
+reach(node, clabel) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, r.clabel FROM reach r JOIN sym s ON s.u = r.node WHERE r.clabel < s.v
+),
+comp AS (SELECT node, MIN(clabel) AS comp FROM reach GROUP BY node),
+pieces AS (
+  SELECT l.label, c.comp, COUNT(*) AS piece
+  FROM lab l JOIN comp c ON l.node = c.node GROUP BY l.label, c.comp
+),
+mx AS (SELECT label, MAX(piece) AS mp FROM pieces GROUP BY label)
+SELECT z.label, ROUND(1.0 - COALESCE(m.mp, 0) * 1.0 / z.sz, 6) AS value
+FROM sizes z LEFT JOIN mx m ON z.label = m.label
+""",
+        "graph_stable_nodes": f"""
+WITH {_GRAPH_CTES},
+{_KIND_SQL},
+lw AS (
+  SELECT s.u AS node, la.label AS own, lb.label AS nl, SUM(s.w) AS w
+  FROM sym s JOIN lab la ON s.u = la.node JOIN lab lb ON s.v = lb.node
+  GROUP BY s.u, la.label, lb.label
+),
+pn AS (
+  SELECT node, own, SUM(CASE WHEN nl = own THEN w ELSE 0 END) AS own_w,
+         MAX(CASE WHEN nl <> own THEN w END) AS mo
+  FROM lw GROUP BY node, own
+),
+st AS (SELECT node, CASE WHEN own_w > 0 AND (mo IS NULL OR mo < own_w) THEN 1 ELSE 0 END AS stable FROM pn)
+SELECT l.label, ROUND(AVG(COALESCE(s.stable, 1)), 6) AS value
+FROM lab l LEFT JOIN st s ON l.node = s.node GROUP BY l.label
 """,
         "graph_bfs": f"""
 WITH RECURSIVE {_GRAPH_CTES},

@@ -151,19 +151,32 @@ def minhash_lsh_pairs(
         buckets = buckets.join(small, ["band", "bucket"])
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # eager localCheckpoint instead of persist: the blocks are released by
+    # the ContextCleaner once the frame is GC'd, so repeated calls don't
+    # leak executor cache (persist would require a caller-side unpersist
+    # after an unknowable materialization point).
     cand = (
         l.join(r, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # Exact verification on candidates only.  The candidate set is the
     # small side of the verify join against the full shingle table —
-    # broadcast it when it fits (one cheap count on the persisted set;
+    # broadcast it when its estimated SIZE fits (rows × measured id
+    # width, not a bare row count: wide string ids would over-broadcast;
     # AQE would also catch this, but the hint removes the shuffle of the
     # big shingle relation deterministically).
-    if cand.count() <= 2_000_000:
+    stats = cand.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.length(F.col("id_a").cast("string")) + F.length(F.col("id_b").cast("string"))),
+            F.lit(0),
+        ).alias("id_bytes"),
+    ).first()
+    est_bytes = stats["id_bytes"] + 32 * stats["n"]  # + per-row object overhead
+    if est_bytes <= 64 << 20:
         cand = F.broadcast(cand)
     s = shingles(df, text_col, id_col, n)
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

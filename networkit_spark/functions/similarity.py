@@ -132,6 +132,25 @@ def lsh_buckets(
     return emb.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (table, bucket) groups larger than ``max_bucket`` before the
+    bucket self-join — a degenerate corpus (many identical or near-zero
+    vectors hashing to one bucket) would otherwise revert it to
+    O(|bucket|²).  Members of an over-cap bucket are near-identical by
+    construction: exact duplicates are the exact-dedup path's job, and
+    genuinely similar pairs still collide in the other hash tables.
+    Mirrors ``dedup.minhash_lsh_pairs``'s cap."""
+    if max_bucket is None:
+        return buckets
+    small = (
+        buckets.groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") <= max_bucket)
+        .select("table", "bucket")
+    )
+    return buckets.join(small, ["table", "bucket"])
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
@@ -139,10 +158,18 @@ def lsh_topk(
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim, rank) — approximate top-k: bucket
-    collisions across any table → exact cosine re-rank of candidates."""
-    b = lsh_buckets(emb, num_planes, num_tables, id_col, vec_col).persist()
+    collisions across any table → exact cosine re-rank of candidates.
+    ``max_bucket`` bounds each (table, bucket) group (see
+    :func:`_cap_buckets`)."""
+    # eager localCheckpoint instead of persist: blocks are released by the
+    # ContextCleaner when the frame is GC'd — no cache leak across calls
+    b = lsh_buckets(emb, num_planes, num_tables, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    b = _cap_buckets(b, max_bucket)
     l = b.select(F.col(id_col).alias("query_id"), "table", "bucket")
     r = b.select(F.col(id_col).alias("neighbor_id"), "table", "bucket")
     cand = (
@@ -177,17 +204,19 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = True,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with cosine ≥ threshold.  ``exact=True``
     brute-forces (oracle-checkable); False routes through LSH candidates
-    (the 100 TB path — same verify step, bounded join)."""
+    (the 100 TB path — same verify step, bounded join; per-bucket size
+    capped at ``max_bucket``, see :func:`_cap_buckets`)."""
     if exact:
         vecs = emb.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("norm"))
         a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("avec"), F.col("norm").alias("anorm"))
         b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("bvec"), F.col("norm").alias("bnorm"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        bk = lsh_buckets(emb, id_col=id_col, vec_col=vec_col)
+        bk = _cap_buckets(lsh_buckets(emb, id_col=id_col, vec_col=vec_col), max_bucket)
         l = bk.select(F.col(id_col).alias("id_a"), "table", "bucket")
         r = bk.select(F.col(id_col).alias("id_b"), "table", "bucket")
         cand = l.join(r, ["table", "bucket"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()

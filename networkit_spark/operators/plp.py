@@ -21,13 +21,22 @@ invariants (partition exactly covers the node set) plus exact equality
 with a NumPy oracle implementing the same synchronous rule.
 
 The reference's active-set bookkeeping (``:97-105``) is mirrored as a
-FRONTIER SEMI-JOIN (sql impl): after the first sweep, only receivers
+FRONTIER SEMI-JOIN (both impls): after the first sweep, only receivers
 adjacent to a node whose label changed ("touched") re-derive their
 label, from their FULL neighborhood (exact — not incremental weight
 deltas, which would accumulate float residues).  A node none of whose
 neighbors changed re-derives the label it already has, so restricting
 the recompute preserves synchronous-sweep semantics exactly while the
 per-sweep cost collapses to O(Σ deg(touched)) in late sweeps.
+
+On the default ``csr`` path the same restriction runs against the
+prepared partitioned edge table: the message set shrinks to
+``senders = N(touched) = N(N(frontier))`` (every neighbor of a touched
+receiver must send, so the touched receiver's label-weight sums are
+complete), and the gathered partials are semi-joined back to
+``touched`` before the argmax.  Early sweeps, where most labels still
+change, skip the two-hop bookkeeping entirely (``frontier_frac``):
+restricting only pays once the active set is small.
 """
 
 from __future__ import annotations
@@ -64,6 +73,7 @@ def plp(
     prepared: PreparedGraph | None = None,
     num_parts: int | None = None,
     hub_cap: int = 1 << 20,
+    frontier_frac: float = 0.7,
 ) -> DataFrame:
     """Return ``(node: long, label: long)`` — community assignment."""
     spark = graph.spark
@@ -95,12 +105,38 @@ def plp(
         labels = ckpt.step(labels, 0)
 
     frontier = None  # None ⇒ full sweep (first iteration / after resume)
+    updated = n
     while True:
         t0 = time.time()
         it += 1
         if impl == "csr":
-            msgs = labels.select("node", F.col("label").cast("double").alias("value"))
+            touched = None
+            if frontier is not None and updated <= frontier_frac * max(n, 1):
+                # receivers adjacent to a changed node re-derive; everyone
+                # else provably keeps its label (see module doc).  Both
+                # hops run against the already-partitioned edge table.
+                ep = prepared.edges_p
+                touched = (
+                    ep.join(frontier.withColumnRenamed("node", "src"), "src", "leftsemi")
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .localCheckpoint(eager=True)  # used twice below
+                )
+                senders = (
+                    ep.join(touched.withColumnRenamed("node", "dst"), "dst", "leftsemi")
+                    .select(F.col("src").alias("node"))
+                    .distinct()
+                )
+                msgs = labels.join(senders, "node", "leftsemi").select(
+                    "node", F.col("label").cast("double").alias("value")
+                )
+            else:
+                msgs = labels.select("node", F.col("label").cast("double").alias("value"))
             lw = prepared.gather(msgs, OP_LABEL_WSUM)
+            if touched is not None:
+                # senders ⊇ N(touched) makes touched rows complete; rows
+                # for other receivers are partial — drop them.
+                lw = lw.join(touched, "node", "leftsemi")
         else:
             gather_edges = sym
             if frontier is not None:

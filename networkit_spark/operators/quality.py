@@ -13,6 +13,33 @@
 - ``Coverage`` (``cpp/community/Coverage.cpp``): intra/total.
 - ``EdgeCut`` (``cpp/community/EdgeCut.cpp``): total inter-cluster weight.
 - ``Conductance`` per cluster: cut(C) / min(vol(C), vol(V\\C)).
+
+Per-cluster local evaluation measures (``cpp/community/
+LocalPartitionEvaluation.h`` family), each returning one row per
+non-empty cluster; the reference's ``get{Unweighted,Weighted}Average``
+/ min / max roll-ups are a trivial aggregate over the returned frame
+(see :func:`evaluation_summary`):
+
+- ``PartitionHubDominance`` (``cpp/community/PartitionHubDominance.cpp:
+  11-72``): max internal degree / (|C|-1), 1.0 for singletons.
+- ``IntrapartitionDensity`` (``cpp/community/IntrapartitionDensity.cpp:
+  8-74``): intra-edge count / (|C| choose 2), 1.0 when no pair exists.
+- ``IsolatedInterpartitionConductance`` (``cpp/community/
+  IsolatedInterpartitionConductance.cpp:8-71``): cut(C) /
+  min(vol(C), vol(G)-vol(C)) with volumes accumulated per edge endpoint
+  (a self-loop adds 2w to its cluster volume), 0 when the denominator
+  is 0.
+- ``IsolatedInterpartitionExpansion`` (``cpp/community/
+  IsolatedInterpartitionExpansion.cpp:8-59``): cut(C) / min(|C|, n-|C|).
+- ``PartitionFragmentation`` (``cpp/community/PartitionFragmentation.cpp:
+  10-77``): 1 - (largest piece of C ∩ connected-component) / |C|.
+- ``StablePartitionNodes`` (``cpp/community/StablePartitionNodes.cpp:
+  10-81``): fraction of nodes in C whose own-label incident weight is
+  strictly greater than every other label's (isolated nodes stable).
+
+All are label-join + aggregate plans: one shuffle keyed on the node id
+to attach labels, one keyed on the label for the roll-up — no
+cartesian, no collect; they hold at 100× data.
 """
 
 from __future__ import annotations
@@ -116,3 +143,201 @@ def conductance(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
             / F.least(F.col("cvol"), F.lit(total) - F.col("cvol"))
         ).alias("conductance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# local (per-cluster) partition evaluation measures
+# ---------------------------------------------------------------------------
+
+
+def _labeled_sym(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
+    """sym view with both endpoint labels attached (one shuffle per side)."""
+    lab_src = labels.select(F.col("node").alias("src"), F.col("label").alias("src_label"))
+    lab_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label"))
+    return graph.sym().join(lab_src, "src").join(lab_dst, "dst")
+
+
+def _cluster_cut(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
+    """(label, cut) — inter-cluster weight charged to BOTH endpoint
+    clusters, the accumulation rule shared by both IsolatedInterpartition
+    measures (``IsolatedInterpartitionConductance.cpp:20-24``)."""
+    e = _annotated(graph, labels).where(F.col("src_label") != F.col("dst_label"))
+    per_side = e.select(F.col("src_label").alias("label"), "weight").unionByName(
+        e.select(F.col("dst_label").alias("label"), "weight")
+    )
+    return per_side.groupBy("label").agg(F.sum("weight").alias("cut"))
+
+
+def hub_dominance(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
+    """(label, value) — ``PartitionHubDominance.cpp:11-72``: per cluster,
+    the max internal degree over (|C|-1); singletons score 1.0."""
+    ls = _labeled_sym(graph, labels)
+    internal = (
+        ls.where(F.col("src_label") == F.col("dst_label"))
+        .groupBy(F.col("src").alias("node"), F.col("src_label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("ideg"))
+    )
+    sizes = subset_sizes(labels)
+    max_ideg = internal.groupBy("label").agg(F.max("ideg").alias("max_ideg"))
+    return sizes.join(max_ideg, "label", "left").select(
+        "label",
+        F.when(F.col("size") <= 1, F.lit(1.0))
+        .otherwise(
+            F.coalesce("max_ideg", F.lit(0)).cast("double") / (F.col("size") - 1)
+        )
+        .alias("value"),
+    )
+
+
+def intrapartition_density(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
+    """(label, value) — ``IntrapartitionDensity.cpp:8-74``: intra-edge
+    count / (|C| choose 2); clusters with no possible pair score 1.0."""
+    e = _annotated(graph, labels)
+    intra = (
+        e.where(F.col("src_label") == F.col("dst_label"))
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra"))
+    )
+    sizes = subset_sizes(labels)
+    return sizes.join(intra, "label", "left").select(
+        "label",
+        F.when(F.col("size") * (F.col("size") - 1) / 2 <= 0, F.lit(1.0))
+        .otherwise(
+            F.coalesce("intra", F.lit(0)).cast("double")
+            / (F.col("size") * (F.col("size") - 1) / 2)
+        )
+        .alias("value"),
+    )
+
+
+def isolated_interpartition_conductance(
+    graph: EdgeGraph, labels: DataFrame
+) -> DataFrame:
+    """(label, value) — ``IsolatedInterpartitionConductance.cpp:8-71``:
+    cut(C) / min(vol(C), vol(G) - vol(C)), 0 when the denominator is 0.
+    Volumes accumulate per edge endpoint, so a self-loop contributes 2w
+    to its cluster's volume and 2w to the total."""
+    e = _annotated(graph, labels)
+    per_side_vol = e.select(F.col("src_label").alias("label"), "weight").unionByName(
+        e.select(F.col("dst_label").alias("label"), "weight")
+    )
+    cvol = per_side_vol.groupBy("label").agg(F.sum("weight").alias("cvol"))
+    total = per_side_vol.agg(F.sum("weight")).collect()[0][0] or 0.0
+    cut = _cluster_cut(graph, labels)
+    sizes = subset_sizes(labels)
+    return (
+        sizes.join(cvol, "label", "left")
+        .join(cut, "label", "left")
+        .select(
+            "label",
+            F.when(
+                F.least(F.coalesce("cvol", F.lit(0.0)), F.lit(total) - F.coalesce("cvol", F.lit(0.0))) <= 0,
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.coalesce("cut", F.lit(0.0))
+                / F.least(F.col("cvol"), F.lit(total) - F.col("cvol"))
+            )
+            .alias("value"),
+        )
+    )
+
+
+def isolated_interpartition_expansion(
+    graph: EdgeGraph, labels: DataFrame
+) -> DataFrame:
+    """(label, value) — ``IsolatedInterpartitionExpansion.cpp:8-59``:
+    cut(C) / min(|C|, n - |C|)."""
+    n = labels.count()
+    cut = _cluster_cut(graph, labels)
+    sizes = subset_sizes(labels)
+    return sizes.join(cut, "label", "left").select(
+        "label",
+        (
+            F.coalesce("cut", F.lit(0.0))
+            / F.least(F.col("size"), F.lit(n) - F.col("size"))
+        ).alias("value"),
+    )
+
+
+def partition_fragmentation(
+    graph: EdgeGraph, labels: DataFrame, components: DataFrame | None = None
+) -> DataFrame:
+    """(label, value) — ``PartitionFragmentation.cpp:10-77``: per cluster,
+    1 - (largest piece of C ∩ connected-component) / |C|.  ``components``
+    may be precomputed ``(node, label)`` from
+    :func:`~networkit_spark.operators.components.connected_components`."""
+    if components is None:
+        from networkit_spark.operators.components import connected_components
+
+        components = connected_components(graph)
+    comp = components.select("node", F.col("label").alias("comp"))
+    ints = (
+        labels.join(comp, "node")
+        .groupBy("label", "comp")
+        .agg(F.count(F.lit(1)).alias("piece"))
+        .groupBy("label")
+        .agg(F.max("piece").alias("max_piece"))
+    )
+    sizes = subset_sizes(labels)
+    return sizes.join(ints, "label", "left").select(
+        "label",
+        (
+            F.lit(1.0)
+            - F.coalesce("max_piece", F.lit(0)).cast("double") / F.col("size")
+        ).alias("value"),
+    )
+
+
+def stable_partition_nodes(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
+    """(label, value) — ``StablePartitionNodes.cpp:10-81``: fraction of
+    nodes in C whose incident weight to their own label is positive and
+    strictly greater than the weight to every other label; isolated
+    nodes count as stable."""
+    ls = _labeled_sym(graph, labels)
+    lw = ls.groupBy(
+        F.col("src").alias("node"),
+        F.col("src_label").alias("own_label"),
+        F.col("dst_label").alias("nbr_label"),
+    ).agg(F.sum("weight").alias("w"))
+    per_node = lw.groupBy("node", "own_label").agg(
+        F.sum(F.when(F.col("nbr_label") == F.col("own_label"), F.col("w")).otherwise(0.0)).alias("own_w"),
+        F.max(F.when(F.col("nbr_label") != F.col("own_label"), F.col("w"))).alias("max_other"),
+    )
+    stable = per_node.select(
+        "node",
+        F.col("own_label").alias("label"),
+        (
+            (F.col("own_w") > 0)
+            & (F.coalesce("max_other", F.lit(float("-inf"))) < F.col("own_w"))
+        ).cast("int").alias("stable"),
+    )
+    # isolated nodes never appear in sym → stable by definition
+    per_cluster = (
+        labels.join(stable.select("node", "stable"), "node", "left")
+        .groupBy("label")
+        .agg(F.avg(F.coalesce("stable", F.lit(1)).cast("double")).alias("value"))
+    )
+    return per_cluster
+
+
+def evaluation_summary(values: DataFrame, sizes: DataFrame, n: int) -> dict:
+    """Roll a per-cluster ``(label, value)`` frame into the reference's
+    ``LocalPartitionEvaluation`` scalars: unweighted/weighted average,
+    min, max (``cpp/community/LocalPartitionEvaluation.h``)."""
+    row = (
+        values.join(sizes, "label")
+        .agg(
+            F.avg("value").alias("unweighted"),
+            (F.sum(F.col("value") * F.col("size")) / F.lit(n)).alias("weighted"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()[0]
+    )
+    return {
+        "unweighted_average": row["unweighted"],
+        "weighted_average": row["weighted"],
+        "min": row["vmin"],
+        "max": row["vmax"],
+    }

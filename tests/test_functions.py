@@ -116,6 +116,32 @@ def test_embedding_near_dups(spark, emb):
     assert (0, 1) in approx
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """A degenerate corpus of identical vectors hashes every row into ONE
+    (table, bucket) group per table — without the cap the bucket self-join
+    is O(N²).  With ``max_bucket`` below the corpus size the over-cap
+    buckets are dropped entirely, so the candidate pair count is bounded
+    (here: zero), mirroring ``dedup.minhash_lsh_pairs``'s cap."""
+    rows = [(i, [1.0] * 16) for i in range(50)]
+    emb50 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = similarity.lsh_buckets(emb50, num_planes=4, num_tables=2)
+    sizes = [r["c"] for r in b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert max(sizes) == 50  # degenerate by construction
+    capped = similarity._cap_buckets(b, max_bucket=10)
+    assert capped.count() == 0
+    # end-to-end: both LSH paths stay bounded instead of exploding
+    assert similarity.lsh_topk(emb50, k=3, max_bucket=10).count() == 0
+    assert (
+        similarity.embedding_near_dup_pairs(emb50, 0.9, exact=False, max_bucket=10).count()
+        == 0
+    )
+    # and with the cap above the corpus size the pairs come back
+    assert (
+        similarity.embedding_near_dup_pairs(emb50, 0.9, exact=False, max_bucket=10_000).count()
+        == 50 * 49 // 2
+    )
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=8)
     feats = multimodal.image_features(media).collect()

@@ -55,6 +55,19 @@ def test_isolated_stays_singleton(spark):
     assert got[9] == 9
 
 
+def test_csr_frontier_forced_exact(spark):
+    """Force the CSR frontier path from sweep 2 (frontier_frac=1.0) on a
+    slow-propagating fixture — must equal the synchronous oracle exactly
+    (PLP.cpp:97-105 active-set semantics)."""
+    # weighted chain: labels creep one hop per sweep → many small frontiers
+    chain = [(i, i + 1, float(1 + (i % 3))) for i in range(11)]
+    edges = CLUSTERED + [(8 + a, 8 + b, w) for a, b, w in chain]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    got = _labels(plp(g, max_iter=12, impl="csr", frontier_frac=1.0), 20)
+    want = plp_oracle(20, edges, max_iter=12)
+    assert np.array_equal(got, want)
+
+
 @pytest.mark.parametrize("impl", ["csr"])
 def test_f7_partition_equivalence(spark, impl):
     g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
