@@ -9,9 +9,9 @@ graph; text/dedup/similarity over documents/embeddings/events).  Every
 aggregate/computed column is aliased identically in Spark and SQL;
 floating outputs are rounded to 6 decimals on BOTH sides so value
 hashes match despite summation-order float noise.  Ops with no ANSI-SQL
-equivalent (LSH ANN, winnowing fingerprints, k-core peel, CSR-path
-kernels) have no oracle entry → driver records the rows-only check;
-their exact semantics are pytest-verified against NumPy oracles.
+equivalent (LSH ANN, k-core peel, iterative hash-RNG memory like SLPA)
+have no oracle entry → driver records the rows-only check; their exact
+semantics are pytest-verified against NumPy oracles.
 """
 
 from __future__ import annotations
@@ -157,6 +157,25 @@ def _q_lcc(spark, sf_dir):
 def _q_plp_sweep(spark, sf_dir):
     g = tpch_link_graph(spark, sf_dir)
     return plp(g, max_iter=1, impl="sql")
+
+
+def _q_lp_degord(spark, sf_dir):
+    """LPDegreeOrdered, 2 synchronous sweeps (unweighted counts, lowest
+    carrier-degree then smallest-label tie-break) — full SQL oracle."""
+    from networkit_spark.operators.lp_variants import lp_degree_ordered
+
+    g = tpch_link_graph(spark, sf_dir)
+    return lp_degree_ordered(g, max_iter=2)
+
+
+def _q_slpa(spark, sf_dir):
+    """SLPA partition view, 5 deterministic speak/listen iterations —
+    rows-only (iterative hash-RNG memory; no ANSI-SQL fixpoint).
+    Semantics pytest-verified in tests/test_lp_variants.py."""
+    from networkit_spark.operators.lp_variants import slpa_partition
+
+    g = tpch_link_graph(spark, sf_dir)
+    return slpa_partition(g, threshold=0.1, num_iterations=5)
 
 
 def _q_coarsen_kind(spark, sf_dir):
@@ -490,8 +509,10 @@ def _q_doc_bpe_count(spark, sf_dir):
 
 
 def _q_doc_fingerprints(spark, sf_dir):
-    """Winnowing fingerprints — rows-only (rolling-hash windows are not
-    ANSI-SQL); NumPy-oracle pytest-verified."""
+    """Winnowing fingerprints (Schleimer et al.) — the rolling k-gram
+    hash is a LEAD window sum and the winnow a rolling MIN, so the full
+    DuckDB oracle below reproduces the selected-fingerprint sets
+    exactly (docs are ASCII: byte == code point)."""
     return text.winnowing_fingerprints(_docs(spark, sf_dir))
 
 
@@ -563,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_edges": _q_triangle_edges,
         "graph_lcc": _q_lcc,
         "graph_plp_sweep": _q_plp_sweep,
+        "graph_lp_degord": _q_lp_degord,
+        "graph_slpa": _q_slpa,
         "graph_coarsen_kind": _q_coarsen_kind,
         "graph_degree_top20": _q_degree_top20,
         "doc_token_count": _q_token_count,
@@ -736,6 +759,38 @@ best AS (
 SELECT n.node, COALESCE(b.label, n.node) AS label
 FROM nodes n LEFT JOIN best b ON n.node = b.node
 """,
+        "graph_lp_degord": f"""
+WITH {_GRAPH_CTES},
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+s1 AS (
+  SELECT s.v AS node, s.u AS label, COUNT(*) AS cnt, MIN(dg.d) AS mindeg
+  FROM sym s JOIN deg dg ON s.u = dg.node
+  GROUP BY s.v, s.u
+),
+l1 AS (
+  SELECT n.node, COALESCE(b.label, n.node) AS label
+  FROM nodes n LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT node, label,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, mindeg ASC, label ASC) AS rn
+      FROM s1
+    ) WHERE rn = 1
+  ) b ON n.node = b.node
+),
+s2 AS (
+  SELECT s.v AS node, l.label, COUNT(*) AS cnt, MIN(dg.d) AS mindeg
+  FROM sym s JOIN l1 l ON s.u = l.node JOIN deg dg ON s.u = dg.node
+  GROUP BY s.v, l.label
+)
+SELECT n.node, COALESCE(b.label, n.node) AS label
+FROM nodes n LEFT JOIN (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, mindeg ASC, label ASC) AS rn
+    FROM s2
+  ) WHERE rn = 1
+) b ON n.node = b.node
+""",
         "graph_coarsen_kind": f"""
 WITH {_GRAPH_CTES},
 lab AS (
@@ -861,6 +916,32 @@ SELECT id_a, id_b,
        ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+""",
+        "doc_fingerprints": """
+WITH chars AS (
+  SELECT doc_id, i, unicode(substr(lower(text), CAST(i AS INT), 1)) AS b
+  FROM documents, UNNEST(generate_series(1, len(text))) AS t(i)
+),
+hashes AS (
+  -- polynomial rolling hash over k=5 byte-grams: Σ b_j · 31^(4-j);
+  -- max value 255·Σ31^j < 2^28, so the engine's &0x7FFFFFFF is a no-op
+  SELECT doc_id, i,
+         (b*923521 + LEAD(b,1) OVER w * 29791 + LEAD(b,2) OVER w * 961
+          + LEAD(b,3) OVER w * 31 + LEAD(b,4) OVER w) AS h,
+         COUNT(*) OVER (PARTITION BY doc_id) - 4 AS n
+  FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+full_h AS (SELECT doc_id, i, h, n FROM hashes WHERE i <= n),
+wm AS (
+  -- winnow: min of each sliding window of 4 consecutive k-gram hashes
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         i, n
+  FROM full_h
+)
+SELECT DISTINCT doc_id, CAST(m AS BIGINT) AS fingerprint
+FROM wm WHERE i <= n - 3
 """,
         "doc_simhash": f"""
 WITH {_TOKS},

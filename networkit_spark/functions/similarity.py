@@ -142,13 +142,18 @@ def _cap_buckets(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
     Mirrors ``dedup.minhash_lsh_pairs``'s cap."""
     if max_bucket is None:
         return buckets
-    small = (
-        buckets.groupBy("table", "bucket")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
+    # window count, not groupBy+join-back: computes the (mapInPandas-
+    # produced) bucket table ONCE and leaves it partitioned on
+    # (table, bucket) — the key the candidate self-join needs, so the
+    # exchange is reused (same rationale as dedup.minhash_lsh_pairs)
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("table", "bucket")
+    return (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(bw))
         .where(F.col("_bsz") <= max_bucket)
-        .select("table", "bucket")
+        .drop("_bsz")
     )
-    return buckets.join(small, ["table", "bucket"])
 
 
 def lsh_topk(

@@ -288,7 +288,14 @@ def _gather_and_clean(
     only_original: bool,
 ) -> DataFrame:
     sym = graph.sym().where(F.col("src") != F.col("dst"))
-    deg = degrees(graph.edges, directed=False).select("node", "deg")
+    # loop-free degrees: two_m and the incident gather both exclude
+    # self-loops, so the degree table must too — otherwise total/external
+    # stub counts drift on graphs with loops (the reference includes
+    # loops in BOTH 2m and the stubs; this engine excludes them from
+    # both, which is equivalent for the significance ratios)
+    deg = degrees(
+        graph.edges.where(F.col("src") != F.col("dst")), directed=False
+    ).select("node", "deg")
     incident = (
         sym.join(membership.withColumnRenamed("node", "dst"), "dst")
         .select("community", F.col("src").alias("u"), F.col("dst").alias("v"))

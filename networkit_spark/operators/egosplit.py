@@ -75,12 +75,26 @@ def ego_splitting(
     max_iter: int = 16,
     min_community_size: int = 5,
     cleanup: bool = False,
+    max_ego_degree: int | None = 2000,
 ) -> DataFrame:
     """Returns the Cover: (node, label), possibly multiple rows per node.
 
     Communities smaller than ``min_community_size`` are discarded, matching
     the reference's post-pass (``EgoSplitting.cpp:804-812``, min_size=5) —
     singleton personas otherwise dominate the cover on sparse graphs.
+
+    ``max_ego_degree`` bounds the per-ego work: the ego-net wedge join is
+    O(deg²) and each ego's union-find is ONE ``applyInPandas`` task, so a
+    degree-10⁵ hub would put ~10¹⁰ candidate wedges in a single task.
+    Egos above the cap have their ego-net built on a DETERMINISTIC sample
+    of ``max_ego_degree`` neighbors (xxhash64(ego, nbr) rank — stable at
+    any parallelism); sampled-out neighbors still receive singleton
+    personas, so the persona-edge mapping stays total and the cover still
+    covers every node.  Recall bound: within a hub's ego-net, a cluster
+    keeps ≥ cap/deg of its members in expectation — hub ego-nets degrade
+    gracefully to coarser splits instead of blowing up one task.  The
+    reference has the same O(deg²) asymptotics but on shared memory
+    (``EgoSplitting.cpp`` runs ego-nets serially per thread).
 
     ``cleanup=True`` pipes the cover through the OSLOM-style significance
     post-pass — the fork's flagship ``EgoSplitting +
@@ -95,10 +109,29 @@ def ego_splitting(
     )
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
+    # the ego-net view: full adjacency for normal egos; a deterministic
+    # neighbor sample for over-cap hubs (window only over hub rows, so
+    # the sort cost is proportional to hub adjacency, not the graph)
+    ego_view = sym
+    if max_ego_degree is not None:
+        from pyspark.sql import Window
+
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        hubs = deg.where(F.col("_d") > max_ego_degree).select("src")
+        hub_rows = sym.join(hubs, "src", "leftsemi")
+        rest = sym.join(hubs, "src", "left_anti")
+        w = Window.partitionBy("src").orderBy(F.xxhash64("src", "dst"), "dst")
+        hub_sample = (
+            hub_rows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_ego_degree)
+            .drop("_rn")
+        )
+        ego_view = rest.unionByName(hub_sample)
+
     # ego-net edges: (ego; v, w) with v,w ∈ N(ego) and (v,w) ∈ E —
     # exactly the triangles at each corner (TriangleEdgeScore shape)
-    nbr1 = sym.select(F.col("src").alias("ego"), F.col("dst").alias("v"))
-    nbr2 = sym.select(F.col("src").alias("ego"), F.col("dst").alias("w"))
+    nbr1 = ego_view.select(F.col("src").alias("ego"), F.col("dst").alias("v"))
+    nbr2 = ego_view.select(F.col("src").alias("ego"), F.col("dst").alias("w"))
     wedges = nbr1.join(nbr2, "ego").where(F.col("v") < F.col("w"))
     ego_edges = wedges.join(
         e.withColumnRenamed("src", "v").withColumnRenamed("dst", "w"), ["v", "w"]

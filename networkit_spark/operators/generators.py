@@ -20,6 +20,8 @@ scale factor, resumable for free.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import SparkSession, functions as F
 
 from networkit_spark.graph import EdgeGraph, canonicalize
@@ -254,6 +256,160 @@ def lfr(
     truth = nd.select(F.col("id").alias("node"), "label")
     g = EdgeGraph(canonicalize(e, weighted_dedup="first"), directed=False, weighted=False)
     return g, truth
+
+
+def _hyperbolic_expected_degree(n: float, alpha: float, R: float) -> float:
+    """Expected average degree of the T=0 random hyperbolic graph
+    (Krioukov et al. 2010 eq. 22 first-order expansion, as used by
+    ``cpp/geometric/HyperbolicSpace.h:137-144``)."""
+    gamma = 2 * alpha + 1
+    xi = (gamma - 1) / (gamma - 2)
+    first = math.exp(-R / 2)
+    second = math.exp(-alpha * R) * (
+        alpha
+        * (R / 2)
+        * ((math.pi / 4) * (1 / alpha) ** 2 - (math.pi - 1) * (1 / alpha) + (math.pi - 2))
+        - 1
+    )
+    return (2 / math.pi) * xi * xi * n * (first + second)
+
+
+def _hyperbolic_target_radius(n: int, k: float, alpha: float, eps: float = 0.01) -> float:
+    """Disk radius R giving expected average degree ``k`` — bisection on
+    the closed-form expectation (``HyperbolicSpace.h:146-165``)."""
+    gamma = 2 * alpha + 1
+    xi_inv = (gamma - 2) / (gamma - 1)
+    v = k * (math.pi / 2) * xi_inv * xi_inv
+    lo, hi = math.log(n / v), 4 * math.log(n / v)
+    r = 2 * math.log(n / v)
+    while abs(_hyperbolic_expected_degree(n, alpha, r) - k) > eps:
+        r = (lo + hi) / 2
+        if _hyperbolic_expected_degree(n, alpha, r) < k:
+            hi = r
+        else:
+            lo = r
+    return r
+
+
+def hyperbolic(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    exp: float = 3.0,
+    seed: int = 42,
+    core_radius_frac: float = 0.7,
+    brute: bool = False,
+) -> EdgeGraph:
+    """Random hyperbolic graph, threshold (T=0) model — reference
+    ``cpp/generators/HyperbolicGenerator.h:21-46`` (von Looz et al.):
+    n points on the hyperbolic disk of radius R, angle ~ U[0, 2π),
+    radius ~ α·sinh(αr)/(cosh(αR)−1) with α=(exp−1)/2, an edge wherever
+    the hyperbolic distance ≤ R.  Yields power-law degrees with exponent
+    ``exp`` and high clustering (README's usage example).
+
+    Distributed shape (the quadtree's role, Spark-first): points with
+    r ≤ r_c = ``core_radius_frac``·R form a CORE — exponentially few
+    points (E|core| ≈ n·e^{−α(1−frac)R}), broadcast-joined against all
+    points.  Outer×outer pairs can only connect within an angular bound
+    θ_max(r_c, r_c) = acos((cosh²r_c − cosh R)/sinh²r_c) (finite because
+    r_c > R/2), so they join only on same-or-adjacent angular sectors of
+    that width: candidate count ∝ Σ per-sector densities, not n².  Both
+    candidate sets apply the EXACT distance filter
+    cosh r_u·cosh r_v − sinh r_u·sinh r_v·cos Δφ ≤ cosh R, so pruning
+    never changes the result (pytest asserts equality with the n²
+    brute force).  All randomness is xxhash64(seed, id) — deterministic
+    at any parallelism."""
+    if exp <= 2:
+        raise ValueError("power-law exponent must be > 2")
+    alpha = (exp - 1) / 2
+    R = _hyperbolic_target_radius(n, avg_degree, alpha)
+    two_pi = 2 * math.pi
+    cosh_aR = math.cosh(alpha * R)
+
+    pts = spark.range(n).select(
+        F.col("id"),
+        (_uniform(seed, "id") * two_pi).alias("phi"),
+        (F.acosh(1 + _uniform(seed + 1, "id") * (cosh_aR - 1)) / alpha).alias("r"),
+    )
+    pts = pts.select(
+        "id", "phi", F.cosh("r").alias("cr"), F.sinh("r").alias("sr"), F.col("r")
+    ).localCheckpoint(eager=True)
+
+    r_c = core_radius_frac * R
+    # angular reach of an outer-outer pair, exact (finite: r_c > R/2)
+    w = math.acos(
+        (math.cosh(r_c) ** 2 - math.cosh(R)) / (math.sinh(r_c) ** 2)
+    )
+    nb = int(two_pi / w) if w > 0 else 0
+
+    def exact_edges(a, b):
+        dphi_raw = F.abs(F.col("phi_u") - F.col("phi_v"))
+        dphi = F.least(dphi_raw, two_pi - dphi_raw)
+        cond = (
+            F.col("cr_u") * F.col("cr_v") - F.col("sr_u") * F.col("sr_v") * F.cos(dphi)
+        ) <= math.cosh(R)
+        return (
+            a.join(b, F.col("src") < F.col("dst"))
+            .where(cond)
+            .select("src", "dst", F.lit(1.0).alias("weight"))
+        )
+
+    u_side = pts.select(
+        F.col("id").alias("src"), F.col("phi").alias("phi_u"),
+        F.col("cr").alias("cr_u"), F.col("sr").alias("sr_u"), F.col("r").alias("r_u"),
+    )
+    v_side = pts.select(
+        F.col("id").alias("dst"), F.col("phi").alias("phi_v"),
+        F.col("cr").alias("cr_v"), F.col("sr").alias("sr_v"), F.col("r").alias("r_v"),
+    )
+
+    if nb < 4 or brute:
+        # disk too small for sector pruning (or pruning disabled for
+        # the pruned≡brute equality test) — exact n² filter
+        e = exact_edges(u_side, v_side)
+        return EdgeGraph(e, directed=False, weighted=False)
+
+    core_u = u_side.where(F.col("r_u") <= r_c)
+    # core × all: |core| is tiny → broadcast side.  src≠dst (not src<dst:
+    # that would drop pairs whose core endpoint has the larger id), then
+    # canonicalize; core-core pairs match in both orders → distinct
+    dphi_raw_c = F.abs(F.col("phi_u") - F.col("phi_v"))
+    dphi_c = F.least(dphi_raw_c, two_pi - dphi_raw_c)
+    e_core = (
+        F.broadcast(core_u)
+        .join(v_side, F.col("src") != F.col("dst"))
+        .where(
+            (F.col("cr_u") * F.col("cr_v") - F.col("sr_u") * F.col("sr_v") * F.cos(dphi_c))
+            <= math.cosh(R)
+        )
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        .distinct()
+    )
+
+    sector = lambda phi: F.floor(phi / F.lit(two_pi / nb)).cast("long")  # noqa: E731
+    outer_u = u_side.where(F.col("r_u") > r_c).withColumn("sec", sector(F.col("phi_u")))
+    outer_v = v_side.where(F.col("r_v") > r_c).withColumn("sec_v", sector(F.col("phi_v")))
+    # each unordered outer pair within reach differs by exactly one
+    # offset in {-1, 0, 1} (mod nb) — matched once, no dedup needed
+    cand_u = outer_u.withColumn("off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))).withColumn(
+        "sec_v", F.pmod(F.col("sec") + F.col("off"), F.lit(nb))
+    )
+    dphi_raw = F.abs(F.col("phi_u") - F.col("phi_v"))
+    dphi = F.least(dphi_raw, two_pi - dphi_raw)
+    e_outer = (
+        cand_u.join(outer_v, "sec_v")
+        .where(F.col("src") < F.col("dst"))
+        .where(
+            (F.col("cr_u") * F.col("cr_v") - F.col("sr_u") * F.col("sr_v") * F.cos(dphi))
+            <= math.cosh(R)
+        )
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return EdgeGraph(e_core.unionByName(e_outer), directed=False, weighted=False)
 
 
 def rmat(

@@ -1,0 +1,197 @@
+"""Label-propagation variants beyond PLP (SURVEY §2.5.3 family).
+
+``lp_degree_ordered`` — reference ``cpp/community/LPDegreeOrdered.cpp:
+18-96``: label propagation where nodes are processed in INCREASING
+degree order, each node adopting the most frequent neighbor label
+(counts, NOT weights — ``:42`` adds 1 per neighbor regardless of edge
+weight), until ≤ ``theta = n/1e5`` nodes update (``:20,75``).  The
+reference runs asynchronously over a degree-sorted node array with a
+hash-order (non-deterministic) tie-break at ``:45-48``.  This engine
+defines the SYNCHRONOUS analogue, with the degree ordering folded into
+a deterministic tie-break: among equally frequent labels a node prefers
+the one whose carriers include the LOWEST-degree neighbor (then the
+smallest label id).  Low-degree nodes win ties exactly as they win the
+reference's sequential ordering — they commit their labels first —
+while every sweep reads the previous sweep's labels, so the result is
+deterministic and partition-count-invariant.  One sweep is a pure
+join + window argmax, so the gate row has a full DuckDB oracle.
+
+``slpa`` — reference ``cpp/community/SLPA.cpp:33-122`` (the fork adds it
+for overlapping covers): every node keeps a MEMORY of labels, seeded
+with its own id (``:20-22``).  Per iteration each listener receives one
+label from every neighbor — the speaker samples from its memory with
+probability proportional to the label's count (``:74-93``) — and adds
+the most frequent received label to its memory (the commented-out
+``selectLabel`` max; we keep the deterministic max with smallest-id
+tie-break rather than the reference's random draw).  After ``T``
+iterations a node belongs to every label holding ≥ ``threshold`` of its
+memory (``:95-122``); the densest such label is its partition.  The
+reference's RNG draws are replaced by a counter-based hash RNG
+(xxhash64 over (speaker, listener, iteration, seed)) so the cover is
+deterministic at any parallelism.  Distributed shape: memory is a
+``(node, label, cnt)`` table (≤ T+1 rows per node), speaking is an
+edge-join against cumulative count ranges, listening a groupBy argmax —
+two shuffles per iteration, no collect, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from networkit_spark.graph import EdgeGraph
+
+
+def lp_degree_ordered(
+    graph: EdgeGraph,
+    theta: float | None = None,
+    max_iter: int | None = None,
+) -> DataFrame:
+    """Return ``(node: long, label: long)`` — LPDegreeOrdered assignment
+    under synchronous sweeps (see module doc for the ordering rule)."""
+    n = graph.num_nodes()
+    if theta is None:
+        theta = n / 1e5
+    sym = (graph.sym() if not graph.directed else graph.to_undirected().sym()).persist()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+
+    labels = graph.vertices().select(F.col("id").alias("node"), F.col("id").alias("label"))
+    it = 0
+    while True:
+        it += 1
+        # neighbor label frequencies, carrying the lowest carrier degree
+        lw = (
+            sym.join(
+                labels.join(deg, "node").select(
+                    F.col("node").alias("src"), "label", F.col("deg").alias("src_deg")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("src_deg").alias("min_deg"))
+        )
+        heavy = lw.groupBy("node").agg(
+            F.expr("max_by(label, struct(cnt, -min_deg, -label))").alias("heavy")
+        )
+        new_labels = labels.join(heavy, "node", "left").select(
+            "node",
+            F.coalesce("heavy", "label").alias("label"),
+            (F.coalesce("heavy", "label") != F.col("label")).alias("chg"),
+        ).localCheckpoint(eager=True)
+        updated = new_labels.where("chg").count()
+        labels = new_labels.select("node", "label")
+        if updated <= theta or (max_iter is not None and it >= max_iter):
+            break
+    sym.unpersist()
+    return labels
+
+
+def _speak(memory: DataFrame, sym: DataFrame, it: int, seed: int) -> DataFrame:
+    """One label per (speaker → listener) edge, sampled from the speaker's
+    memory proportional to counts via a counter-based hash RNG: draw
+    ``r ∈ [0, total)`` per edge and pick the label whose cumulative-count
+    range covers it (``SLPA.cpp:74-93``'s discrete_distribution)."""
+    w = Window.partitionBy("node").orderBy("label")
+    cum = memory.select(
+        "node",
+        "label",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("lo"),
+        F.sum("cnt").over(w).alias("hi"),
+        F.sum("cnt").over(Window.partitionBy("node")).alias("total"),
+    )
+    # edges join the speaker's cumulative table; the per-edge draw is
+    # uniform in [0, total) — pmod keeps it non-negative
+    e = sym.select(F.col("src").alias("node"), F.col("dst").alias("listener"))
+    drawn = (
+        e.join(cum, "node")
+        .withColumn(
+            "r",
+            F.pmod(
+                F.xxhash64("node", "listener", F.lit(it), F.lit(seed)), F.col("total")
+            ),
+        )
+        .where((F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
+        .select("listener", "label")
+    )
+    return drawn
+
+
+def _slpa_memory(
+    graph: EdgeGraph,
+    num_iterations: int,
+    seed: int,
+    base_clustering: DataFrame | None,
+) -> DataFrame:
+    """Run the speak/listen iterations; return the final ``(node, label,
+    cnt)`` memory table."""
+    sym = (graph.sym() if not graph.directed else graph.to_undirected().sym()).persist()
+    if base_clustering is not None:
+        memory = base_clustering.select("node", "label", F.lit(1).alias("cnt"))
+    else:
+        memory = graph.vertices().select(
+            F.col("id").alias("node"), F.col("id").alias("label"), F.lit(1).alias("cnt")
+        )
+    memory = memory.localCheckpoint(eager=True)
+
+    for it in range(num_iterations):
+        received = _speak(memory, sym, it, seed)
+        # listener keeps the most frequent received label (deterministic
+        # smallest-id tie-break; see module doc)
+        counts = received.groupBy(F.col("listener").alias("node"), "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        chosen = counts.groupBy("node").agg(
+            F.expr("max_by(label, struct(c, -label))").alias("label")
+        )
+        memory = (
+            memory.unionByName(chosen.select("node", "label", F.lit(1).alias("cnt")))
+            .groupBy("node", "label")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)  # truncate lineage each iteration
+        )
+    sym.unpersist()
+    return memory
+
+
+def slpa(
+    graph: EdgeGraph,
+    threshold: float = 0.1,
+    num_iterations: int = 20,
+    seed: int = 42,
+    base_clustering: DataFrame | None = None,
+) -> DataFrame:
+    """Return ``(node: long, label: long)`` — an overlapping COVER (a node
+    may appear in several rows); every label retained holds ≥
+    ``threshold`` of the node's post-run memory (``SLPA.cpp:95-122``)."""
+    memory = _slpa_memory(graph, num_iterations, seed, base_clustering)
+    total = memory.groupBy("node").agg(F.sum("cnt").alias("total"))
+    return (
+        memory.join(total, "node")
+        .where(F.col("cnt") / F.col("total") >= threshold)
+        .select("node", "label")
+    )
+
+
+def slpa_partition(
+    graph: EdgeGraph,
+    threshold: float = 0.1,
+    num_iterations: int = 20,
+    seed: int = 42,
+    base_clustering: DataFrame | None = None,
+) -> DataFrame:
+    """Disjoint partition view of :func:`slpa` — each node's densest
+    retained label (``SLPA.cpp:104-120``); nodes whose memory retains no
+    label above threshold fall back to singletons (``:118-119``)."""
+    memory = _slpa_memory(graph, num_iterations, seed, base_clustering)
+    total = memory.groupBy("node").agg(F.sum("cnt").alias("total"))
+    best = (
+        memory.join(total, "node")
+        .where(F.col("cnt") / F.col("total") >= threshold)
+        .groupBy("node")
+        .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
+    )
+    return (
+        graph.vertices()
+        .select(F.col("id").alias("node"))
+        .join(best, "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )

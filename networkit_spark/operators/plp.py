@@ -30,13 +30,17 @@ the recompute preserves synchronous-sweep semantics exactly while the
 per-sweep cost collapses to O(Σ deg(touched)) in late sweeps.
 
 On the default ``csr`` path the same restriction runs against the
-prepared partitioned edge table: the message set shrinks to
-``senders = N(touched) = N(N(frontier))`` (every neighbor of a touched
-receiver must send, so the touched receiver's label-weight sums are
-complete), and the gathered partials are semi-joined back to
-``touched`` before the argmax.  Early sweeps, where most labels still
-change, skip the two-hop bookkeeping entirely (``frontier_frac``):
-restricting only pays once the active set is small.
+prepared partitioned edge table directly: ``touched = N(frontier)``
+(one semi-join pass), then the sweep's label-weight sums come from a
+RESTRICTED EDGE GATHER — ``edges_p`` semi-joined to touched receivers,
+joined to the label table, grouped by (receiver, label) — whose shuffle
+volume is Σ deg(touched), not m.  The full CSR/blob gather only runs
+for full sweeps; a same-window A/B showed the earlier two-hop variant
+(senders = N(N(frontier)) fed into the full gather) pays two extra
+O(m) distinct passes per sweep and LOSES time at 5-sweep workloads.
+Early sweeps, where most labels change, skip the bookkeeping entirely
+(``frontier_frac``): restricting only pays once the active set is
+small.
 """
 
 from __future__ import annotations
@@ -113,30 +117,26 @@ def plp(
             touched = None
             if frontier is not None and updated <= frontier_frac * max(n, 1):
                 # receivers adjacent to a changed node re-derive; everyone
-                # else provably keeps its label (see module doc).  Both
-                # hops run against the already-partitioned edge table.
+                # else provably keeps its label (see module doc).  The
+                # restricted gather runs as plain joins on the prepared
+                # edge table — shuffle ∝ Σ deg(touched), not m.
                 ep = prepared.edges_p
                 touched = (
                     ep.join(frontier.withColumnRenamed("node", "src"), "src", "leftsemi")
                     .select(F.col("dst").alias("node"))
                     .distinct()
-                    .localCheckpoint(eager=True)  # used twice below
                 )
-                senders = (
+                lw = (
                     ep.join(touched.withColumnRenamed("node", "dst"), "dst", "leftsemi")
-                    .select(F.col("src").alias("node"))
-                    .distinct()
-                )
-                msgs = labels.join(senders, "node", "leftsemi").select(
-                    "node", F.col("label").cast("double").alias("value")
+                    .join(
+                        labels.select(F.col("node").alias("src"), "label"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("node"), "label")
+                    .agg(F.sum("weight").alias("wsum"))
                 )
             else:
                 msgs = labels.select("node", F.col("label").cast("double").alias("value"))
-            lw = prepared.gather(msgs, OP_LABEL_WSUM)
-            if touched is not None:
-                # senders ⊇ N(touched) makes touched rows complete; rows
-                # for other receivers are partial — drop them.
-                lw = lw.join(touched, "node", "leftsemi")
+                lw = prepared.gather(msgs, OP_LABEL_WSUM)
         else:
             gather_edges = sym
             if frontier is not None:

@@ -99,6 +99,13 @@ def incremental_sssp(
 
     ``prev_dist`` = (node, dist) with unreachable nodes ABSENT (the
     ``bfs``/``sssp`` output convention); returns the same shape.
+
+    Directed graphs take the static recompute path: the warm-start seed
+    below canonicalizes insertions to (least, greatest) and propagates
+    improvements through BOTH directions, which on a directed graph
+    would write distances through non-existent reverse edges (the
+    reference DynBFS/DynDijkstra handle directed graphs natively;
+    a direction-aware warm start needs non-canonicalized event edges).
     """
     from networkit_spark.operators.bfs import bfs, sssp
 
@@ -109,7 +116,7 @@ def incremental_sssp(
             new_graph.directed,
             new_graph.weighted,
         )
-    if not _batch_is_incremental(events):
+    if new_graph.directed or not _batch_is_incremental(events):
         out = bfs(new_graph, source) if hops else sssp(new_graph, source)
         if hops:
             out = out.select("node", F.col("dist").cast("double").alias("dist"))

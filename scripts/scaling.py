@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -112,8 +113,18 @@ that transfers.
         if os.path.exists(path):
             old = open(path).read()
             marker = old.find("## Headline bench")
+            if marker < 0:
+                # fallback: preserve from the first non-scaling "## "
+                # heading — never silently drop the rest of the file
+                for m in re.finditer(r"^## .*$", old, re.M):
+                    if "scaling" not in m.group(0).lower():
+                        marker = m.start()
+                        break
             if marker >= 0:
                 rest = old[marker:]
+            elif old.strip():
+                print("WARNING: no '## ' section marker in BENCH.md; aborting rewrite")
+                return
         with open(path, "w") as f:
             f.write(head + section + rest)
         print("wrote BENCH.md (scaling section)")

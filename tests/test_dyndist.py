@@ -66,6 +66,25 @@ def test_dynsssp_removal_falls_back_to_static(spark):
     assert got == {0: 0.0, 1: 1.0, 2: 2.0}  # 3,4 unreachable now
 
 
+def test_dynsssp_directed_takes_static_path(spark):
+    """On a directed graph the symmetric warm-start seed would relax
+    through the REVERSE of the canonicalized insertion — incremental_sssp
+    must fall back to the static recompute and match static sssp exactly.
+    Adversarial fixture: the batch adds (5, 2), canonicalized to stored
+    edge 2→5; a symmetric seed would claim dist(2) = dist(5)+1 = 2 and
+    then relax 2→7, but 2 and 7 stay unreachable from 0."""
+    e = edges_df(spark, [(0, 5, 1.0), (2, 7, 1.0)])
+    g = EdgeGraph.from_edges(e, directed=True)
+    d0 = sssp(g, 0)
+    assert {r["node"] for r in d0.collect()} == {0, 5}
+    ev = _events(spark, [(1, "EDGE_ADDITION", 5, 2, 1.0)])
+    new_g, d1 = incremental_sssp(g, 0, d0, ev, hops=False)
+    want = {r["node"]: r["dist"] for r in sssp(new_g, 0).collect()}
+    got = {r["node"]: r["dist"] for r in d1.collect()}
+    assert got == pytest.approx(want)
+    assert 2 not in got and 7 not in got  # no reverse-edge leakage
+
+
 def test_dynbetweenness_matches_static_recompute(spark):
     g = _path_graph(spark, 7)
     st = betweenness_state(g)  # all sources: exact

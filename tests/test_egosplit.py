@@ -38,6 +38,34 @@ def test_cover_f1(spark):
     assert cover_f1(cover, truth) == pytest.approx(1.0)
 
 
+def test_hub_ego_degree_cap(spark):
+    """A star hub with a forced low cap completes on the sampled ego-net
+    path: the cover still spans every node (sampled-out neighbors get
+    singleton personas) and the leaf-side communities are intact."""
+    # hub 0 → 60 leaves; two K4 blocks hang off leaves 1 and 2
+    star = [(0, i) for i in range(1, 61)]
+    k1 = [(a, b) for a in (1, 61, 62, 63) for b in (1, 61, 62, 63) if a < b]
+    k2 = [(a, b) for a in (2, 64, 65, 66) for b in (2, 64, 65, 66) if a < b]
+    g = EdgeGraph.from_edges(edges_df(spark, star + k1 + k2))
+    cover = ego_splitting(g, min_community_size=1, max_ego_degree=8)
+    nodes = {r["node"] for r in cover.collect()}
+    assert nodes == set(range(67))
+    comm = {}
+    for r in cover.collect():
+        comm.setdefault(r["label"], set()).add(r["node"])
+    assert any({1, 61, 62, 63} <= c for c in comm.values())
+    assert any({2, 64, 65, 66} <= c for c in comm.values())
+
+
+def test_cap_above_degree_is_identity(spark):
+    """With the cap above every degree the sampled path must return the
+    exact uncapped cover (the sample is the full neighbor set)."""
+    g = EdgeGraph.from_edges(edges_df(spark, BOWTIE))
+    uncapped = {(r["node"], r["label"]) for r in ego_splitting(g, min_community_size=1, max_ego_degree=None).collect()}
+    capped = {(r["node"], r["label"]) for r in ego_splitting(g, min_community_size=1, max_ego_degree=100).collect()}
+    assert capped == uncapped
+
+
 def test_clustered_blocks_with_bridge_overlap(spark):
     # two K4 blocks joined through a shared node 3-4 bridge edge: every
     # node still lands in >=1 community and the cover spans the node set
