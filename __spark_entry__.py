@@ -178,6 +178,40 @@ def _q_slpa(spark, sf_dir):
     return slpa_partition(g, threshold=0.1, num_iterations=5)
 
 
+def _q_umsf(spark, sf_dir):
+    """Union of all maximum-weight spanning forests — oracle: an edge
+    belongs iff its endpoints are disconnected in the strictly-heavier
+    subgraph (UnionMaximumSpanningForest.cpp level batching), expressed
+    as one recursive min-label CC per weight level."""
+    from networkit_spark.operators.forest import union_maximum_spanning_forest
+
+    g = tpch_link_graph(spark, sf_dir)
+    return union_maximum_spanning_forest(g).select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+
+def _q_agglomerative(spark, sf_dir):
+    """ParallelAgglomerativeClusterer — rows-only (iterative matching
+    fixpoint); two-block recovery pytest-verified."""
+    from networkit_spark.operators.coarsening import parallel_agglomerative
+
+    g = tpch_link_graph(spark, sf_dir)
+    return parallel_agglomerative(g)
+
+
+def _q_prefix_jaccard(spark, sf_dir):
+    """PrefixJaccardScore over the edge weights as the ranking attribute
+    — full window-function oracle (same rank()/cumsum plan in DuckDB)."""
+    from networkit_spark.operators.sparsification import prefix_jaccard_score
+
+    g = tpch_link_graph(spark, sf_dir)
+    att = g.edges.select("src", "dst", F.col("weight").alias("score"))
+    return prefix_jaccard_score(g, att).select(
+        "src", "dst", F.round("score", 6).alias("score")
+    )
+
+
 def _q_coarsen_kind(spark, sf_dir):
     g = tpch_link_graph(spark, sf_dir)
     kind = g.vertices().select(
@@ -586,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_plp_sweep": _q_plp_sweep,
         "graph_lp_degord": _q_lp_degord,
         "graph_slpa": _q_slpa,
+        "graph_umsf": _q_umsf,
+        "graph_agglomerative": _q_agglomerative,
+        "graph_prefix_jaccard": _q_prefix_jaccard,
         "graph_coarsen_kind": _q_coarsen_kind,
         "graph_degree_top20": _q_degree_top20,
         "doc_token_count": _q_token_count,
@@ -790,6 +827,74 @@ FROM nodes n LEFT JOIN (
     FROM s2
   ) WHERE rn = 1
 ) b ON n.node = b.node
+""",
+        "graph_umsf": f"""
+WITH RECURSIVE edges AS ({_EDGES}),
+lvls AS (SELECT DISTINCT weight AS lvl FROM edges),
+hsym AS (
+  SELECT l.lvl, e.src AS u, e.dst AS v FROM edges e JOIN lvls l ON e.weight > l.lvl
+  UNION ALL
+  SELECT l.lvl, e.dst, e.src FROM edges e JOIN lvls l ON e.weight > l.lvl WHERE e.src <> e.dst
+),
+hn AS (SELECT DISTINCT lvl, u AS node FROM hsym),
+reach(lvl, node, comp) AS (
+  SELECT lvl, node, node FROM hn
+  UNION
+  SELECT h.lvl, h.v, r.comp FROM reach r JOIN hsym h ON h.lvl = r.lvl AND h.u = r.node
+  WHERE r.comp < h.v
+),
+cc AS (SELECT lvl, node, MIN(comp) AS comp FROM reach GROUP BY lvl, node)
+SELECT e.src, e.dst, ROUND(e.weight, 6) AS weight
+FROM edges e
+LEFT JOIN cc ca ON ca.lvl = e.weight AND ca.node = e.src
+LEFT JOIN cc cb ON cb.lvl = e.weight AND cb.node = e.dst
+WHERE ca.comp IS NULL OR cb.comp IS NULL OR ca.comp <> cb.comp
+""",
+        "graph_prefix_jaccard": f"""
+WITH {_GRAPH_CTES},
+att AS (
+  SELECT src AS u, dst AS v, weight AS s FROM edges
+  UNION ALL
+  SELECT dst, src, weight FROM edges
+),
+ranked AS (
+  SELECT u AS node, v AS nbr, RANK() OVER (PARTITION BY u ORDER BY s DESC) AS r
+  FROM att
+),
+us AS (
+  SELECT e.src, e.dst, rk.nbr AS w, rk.r AS ru
+  FROM edges e JOIN ranked rk ON rk.node = e.src WHERE rk.nbr <> e.dst
+),
+vs AS (
+  SELECT e.src, e.dst, rk.nbr AS w, rk.r AS rv
+  FROM edges e JOIN ranked rk ON rk.node = e.dst WHERE rk.nbr <> e.src
+),
+both_r AS (
+  SELECT COALESCE(us.src, vs.src) AS src, COALESCE(us.dst, vs.dst) AS dst,
+         COALESCE(us.w, vs.w) AS w, us.ru, vs.rv
+  FROM us FULL OUTER JOIN vs ON us.src = vs.src AND us.dst = vs.dst AND us.w = vs.w
+),
+ev AS (
+  SELECT src, dst, ru AS r, 1 AS du, 0 AS dv, 0 AS dc FROM both_r WHERE ru IS NOT NULL
+  UNION ALL
+  SELECT src, dst, rv, 0, 1, 0 FROM both_r WHERE rv IS NOT NULL
+  UNION ALL
+  SELECT src, dst, GREATEST(ru, rv), 0, 0, 1 FROM both_r WHERE ru IS NOT NULL AND rv IS NOT NULL
+),
+grp AS (SELECT src, dst, r, SUM(du) AS du, SUM(dv) AS dv, SUM(dc) AS dc FROM ev GROUP BY src, dst, r),
+cum AS (
+  SELECT src, dst,
+         SUM(du) OVER w AS un, SUM(dv) OVER w AS vn, SUM(dc) OVER w AS cn
+  FROM grp WINDOW w AS (PARTITION BY src, dst ORDER BY r)
+),
+jacc AS (
+  SELECT src, dst,
+         CASE WHEN un + vn - cn > 0 THEN cn * 1.0 / (un + vn - cn) ELSE 0.0 END AS j
+  FROM cum
+),
+best AS (SELECT src, dst, MAX(j) AS score FROM jacc GROUP BY src, dst)
+SELECT e.src, e.dst, ROUND(COALESCE(b.score, 0.0), 6) AS score
+FROM edges e LEFT JOIN best b ON e.src = b.src AND e.dst = b.dst
 """,
         "graph_coarsen_kind": f"""
 WITH {_GRAPH_CTES},

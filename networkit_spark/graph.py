@@ -191,6 +191,24 @@ def index_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def truncate_lineage(df: DataFrame, iteration: int, every: int = 8) -> DataFrame:
+    """Per-iteration lineage truncation for driver loops.
+
+    ``localCheckpoint(eager=True)`` truncates the LOGICAL plan but chained
+    checkpoints accumulate serialized task state (observed: 2 MB+ task
+    binaries and per-iteration wall exploding 4-5x past ~10 chained
+    checkpoints).  Every ``every`` iterations the state takes a parquet
+    round-trip instead, which resets the chain completely; other
+    iterations use the cheap local checkpoint."""
+    if every > 0 and iteration > 0 and iteration % every == 0:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="nk_lineage_")
+        df.write.mode("overwrite").parquet(tmp)
+        return df.sparkSession.read.parquet(tmp)
+    return df.localCheckpoint(eager=True)
+
+
 def random_nodes(graph: "EdgeGraph", k: int = 1, seed: int = 42) -> list:
     """``GraphTools::randomNode(s)`` — ``k`` distinct uniform nodes at a
     fixed seed.  Ranks nodes by ``xxhash64(seed, id)`` and takes the

@@ -459,6 +459,16 @@ class Checkpointer:
         elif durable:
             state.write.mode("overwrite").parquet(self._state_path(iteration))
             out = state.sparkSession.read.parquet(self._state_path(iteration))
+        elif self.interval > 0 and iteration > 0 and iteration % (2 * self.interval) == 0:
+            # chained localCheckpoints accumulate serialized task state
+            # (2 MB+ binaries, superlinear slow-down past ~10 chained) —
+            # periodic parquet round-trip resets the chain even when no
+            # durable directory is configured
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="nk_ckpt_")
+            state.write.mode("overwrite").parquet(tmp)
+            out = state.sparkSession.read.parquet(tmp)
         else:
             out = state.localCheckpoint(eager=True)
         rec = {

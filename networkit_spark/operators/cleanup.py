@@ -330,16 +330,110 @@ def _gather_and_clean(
     )
 
 
+def merge_discarded_communities(
+    graph: EdgeGraph,
+    discarded: DataFrame,
+    n_total: int,
+    two_m: int,
+    score_threshold: float = 0.1,
+    significance_threshold: float = 0.1,
+    iterations: int = 2,
+    max_community_size: int | None = None,
+) -> DataFrame:
+    """``MergeCommunities`` (``cleanup/MergeCommunities.cpp:31-287``):
+    try to assemble SIGNIFICANT communities out of the ones the cleanup
+    discarded.  Per iteration: (1) build the coarse graph whose nodes
+    are discarded communities and whose edge weights count original-
+    graph edges between their member sets (``createDiscardedCommunities
+    Graph``, ``:51-115``) — one membership double-join + aggregate;
+    (2) group coarse nodes by local moving (``tryToMergeCommunities``,
+    ``:117-140``); (3) run every merged candidate through the single-
+    community significance cleanup and keep the survivors
+    (``checkMergedCommunities``, ``:208-287``).
+
+    Documented deviation: step (2) uses the engine's PLM modularity
+    local-move on the coarse graph where the reference moves by r-score
+    (``tryLocalMove``, ``:142-206``).  The merge step is only a
+    CANDIDATE heuristic — step (3) applies the reference's own
+    significance gate to every candidate, so the deviation can change
+    which merges are proposed but never admit an insignificant
+    community.  Returns the significant merged part of the cover.
+    """
+    from networkit_spark.operators.louvain import plm
+
+    out = None
+    discarded = discarded.persist()
+    for _ in range(iterations):
+        if discarded.limit(1).count() == 0:
+            break
+        # coarse graph over discarded communities (cover-aware: a node in
+        # k communities contributes each incident edge to all k rows)
+        sym = graph.sym().where(F.col("src") != F.col("dst"))
+        ma = discarded.select(F.col("node").alias("src"), F.col("community").alias("ca"))
+        mb = discarded.select(F.col("node").alias("dst"), F.col("community").alias("cb"))
+        coarse_e = (
+            sym.join(ma, "src")
+            .join(mb, "dst")
+            .groupBy(
+                F.least("ca", "cb").alias("src"), F.greatest("ca", "cb").alias("dst")
+            )
+            .agg((F.count(F.lit(1)) / 2.0).alias("weight"))
+            # the merge heuristic moves whole communities, so internal
+            # (self-loop) weight never changes a move's delta — drop it
+            .where(F.col("src") != F.col("dst"))
+            .localCheckpoint(eager=True)
+        )
+        if coarse_e.limit(1).count() == 0:
+            break
+        coarse = EdgeGraph(coarse_e, directed=False, weighted=True)
+        merged = plm(coarse, max_levels=1).select(
+            F.col("node").alias("community"), F.col("label").alias("merged")
+        )
+        candidate = (
+            discarded.join(merged, "community")
+            .select("node", F.col("merged").alias("community"))
+            .distinct()
+        )
+        if max_community_size is not None:
+            small = (
+                candidate.groupBy("community")
+                .agg(F.count(F.lit(1)).alias("_sz"))
+                .where(F.col("_sz") <= max_community_size)
+                .select("community")
+            )
+            candidate = candidate.join(small, "community", "left_semi")
+        cleaned = _gather_and_clean(
+            graph, candidate, n_total, two_m, score_threshold,
+            significance_threshold, False,
+        ).localCheckpoint(eager=True)
+        out = cleaned if out is None else out.unionByName(cleaned)
+        # candidates whose cleanup failed stay discarded for the next round
+        failed = candidate.join(cleaned.select("community").distinct(), "community", "left_anti")
+        nxt = failed.persist()
+        nxt.count()
+        discarded.unpersist()
+        discarded = nxt
+    discarded.unpersist()
+    if out is None:
+        spark = graph.spark
+        return spark.createDataFrame([], "node long, community long")
+    return out
+
+
 def significance_cleanup(
     graph: EdgeGraph,
     cover: DataFrame,
     score_threshold: float = 0.1,
     significance_threshold: float = 0.1,
     min_overlap_ratio: float = 0.5,
+    merge_discarded: bool = False,
 ) -> DataFrame:
     """Clean every community of ``cover`` (node, community); returns the
     cleaned cover with insignificant / drastically-changed communities
-    dropped — SignificanceCommunityCleanUp.run() minus mergeDiscarded."""
+    dropped — SignificanceCommunityCleanUp.run(); ``merge_discarded=True``
+    additionally tries to merge the discarded communities into
+    significant ones (``mergeDiscardedCommunities``,
+    ``SignificanceCommunityCleanUp.cpp:33-34,85-99``)."""
     g = graph.to_undirected() if graph.directed else graph
     n_total = g.num_nodes()
     two_m = 2 * g.edges.where(F.col("src") != F.col("dst")).count()
@@ -374,6 +468,18 @@ def significance_cleanup(
     )
     out = phase2.join(keep, "community", "left_semi").select("node", "community")
     out = out.localCheckpoint(eager=True)
+    if merge_discarded:
+        kept_comms = out.select("community").distinct()
+        disc = orig.join(kept_comms, "community", "left_anti")
+        merged = merge_discarded_communities(
+            g, disc, n_total, two_m, score_threshold, significance_threshold
+        )
+        # merged community ids live in the coarse-label space; offset them
+        # past the kept ids so the union stays collision-free
+        max_id = (out.agg(F.max("community")).collect()[0][0] or 0) + 1
+        out = out.unionByName(
+            merged.select("node", (F.col("community") + F.lit(max_id)).alias("community"))
+        ).localCheckpoint(eager=True)
     orig.unpersist()
     phase1.unpersist()
     phase2.unpersist()

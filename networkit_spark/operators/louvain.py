@@ -90,7 +90,14 @@ def _local_moving(graph: EdgeGraph, gamma: float, max_sweeps: int) -> DataFrame:
                 ).alias("gain"),
             )
         )
-        parity_ok = F.pmod(F.xxhash64(F.lit(17), F.col("node")), F.lit(2)) == F.lit(sweep % 2)
+        # the parity hash ROTATES every two sweeps: a 2-cycle whose both
+        # nodes share a parity under one hash (the gate's blind spot —
+        # they'd swap forever) is split by a later hash with prob. 1/2
+        # per rotation, so every oscillation dies geometrically fast.
+        # Still deterministic: depends only on (sweep, node).
+        parity_ok = F.pmod(
+            F.xxhash64(F.lit(17 + sweep // 2), F.col("node")), F.lit(2)
+        ) == F.lit(sweep % 2)
         best = (
             cand.where(F.col("gain") > 1e-12)
             .where(parity_ok)
@@ -101,7 +108,19 @@ def _local_moving(graph: EdgeGraph, gamma: float, max_sweeps: int) -> DataFrame:
             "node",
             F.coalesce("new_label", "label").alias("label"),
             (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
-        ).localCheckpoint(eager=True)
+        )
+        if sweep > 0 and sweep % 8 == 0:
+            # hard lineage break: chained per-sweep localCheckpoints leave
+            # a growing serialized task state (observed: task binaries
+            # 2 MB+ and per-sweep wall exploding 4-5x/sweep past ~10
+            # sweeps) — a parquet round-trip resets it completely
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="nk_plm_")
+            new_labels.write.mode("overwrite").parquet(tmp)
+            new_labels = new_labels.sparkSession.read.parquet(tmp)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         moved = new_labels.where("chg").count()
         labels = new_labels.select("node", "label")
         # a zero sweep only proves one parity class is stable — stop

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from networkit_spark.graph import EdgeGraph
+from networkit_spark.graph import EdgeGraph, truncate_lineage
 
 
 def lp_degree_ordered(
@@ -72,11 +72,14 @@ def lp_degree_ordered(
         heavy = lw.groupBy("node").agg(
             F.expr("max_by(label, struct(cnt, -min_deg, -label))").alias("heavy")
         )
-        new_labels = labels.join(heavy, "node", "left").select(
-            "node",
-            F.coalesce("heavy", "label").alias("label"),
-            (F.coalesce("heavy", "label") != F.col("label")).alias("chg"),
-        ).localCheckpoint(eager=True)
+        new_labels = truncate_lineage(
+            labels.join(heavy, "node", "left").select(
+                "node",
+                F.coalesce("heavy", "label").alias("label"),
+                (F.coalesce("heavy", "label") != F.col("label")).alias("chg"),
+            ),
+            it,
+        )
         updated = new_labels.where("chg").count()
         labels = new_labels.select("node", "label")
         if updated <= theta or (max_iter is not None and it >= max_iter):
@@ -142,11 +145,11 @@ def _slpa_memory(
         chosen = counts.groupBy("node").agg(
             F.expr("max_by(label, struct(c, -label))").alias("label")
         )
-        memory = (
+        memory = truncate_lineage(
             memory.unionByName(chosen.select("node", "label", F.lit(1).alias("cnt")))
             .groupBy("node", "label")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint(eager=True)  # truncate lineage each iteration
+            .agg(F.sum("cnt").alias("cnt")),
+            it,
         )
     sym.unpersist()
     return memory

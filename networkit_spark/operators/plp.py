@@ -32,15 +32,17 @@ per-sweep cost collapses to O(Σ deg(touched)) in late sweeps.
 On the default ``csr`` path the same restriction runs against the
 prepared partitioned edge table directly: ``touched = N(frontier)``
 (one semi-join pass), then the sweep's label-weight sums come from a
-RESTRICTED EDGE GATHER — ``edges_p`` semi-joined to touched receivers,
-joined to the label table, grouped by (receiver, label) — whose shuffle
-volume is Σ deg(touched), not m.  The full CSR/blob gather only runs
-for full sweeps; a same-window A/B showed the earlier two-hop variant
-(senders = N(N(frontier)) fed into the full gather) pays two extra
-O(m) distinct passes per sweep and LOSES time at 5-sweep workloads.
-Early sweeps, where most labels change, skip the bookkeeping entirely
-(``frontier_frac``): restricting only pays once the active set is
-small.
+RESTRICTED EDGE GATHER — ``edges_p`` BROADCAST-semi-joined to touched
+receivers, joined to the label table, grouped by (receiver, label) —
+whose shuffle volume is Σ deg(touched), not m, and which never
+re-shuffles the edge table (a dst-keyed shuffle of edges costs more
+than the full blob gather it replaces; measured on RMAT scale 19).
+The full CSR/blob gather runs for every sweep whose frontier exceeds
+``frontier_frac``·n or ``frontier_max``, or whose touched set exceeds
+``touched_max`` (broadcast budget).  Two earlier designs were measured
+and rejected in same-window A/Bs: senders = N(N(frontier)) into the
+full gather (two extra O(m) distinct passes per sweep), and shuffled
+semi-joins (edge-table dst shuffle per sweep).
 """
 
 from __future__ import annotations
@@ -77,7 +79,9 @@ def plp(
     prepared: PreparedGraph | None = None,
     num_parts: int | None = None,
     hub_cap: int = 1 << 20,
-    frontier_frac: float = 0.7,
+    frontier_frac: float = 0.3,
+    frontier_max: int = 1_000_000,
+    touched_max: int = 2_000_000,
 ) -> DataFrame:
     """Return ``(node: long, label: long)`` — community assignment."""
     spark = graph.spark
@@ -114,27 +118,43 @@ def plp(
         t0 = time.time()
         it += 1
         if impl == "csr":
-            touched = None
-            if frontier is not None and updated <= frontier_frac * max(n, 1):
+            lw = None
+            if (
+                frontier is not None
+                and updated <= frontier_frac * max(n, 1)
+                and updated <= frontier_max
+            ):
                 # receivers adjacent to a changed node re-derive; everyone
-                # else provably keeps its label (see module doc).  The
-                # restricted gather runs as plain joins on the prepared
-                # edge table — shuffle ∝ Σ deg(touched), not m.
+                # else provably keeps its label (see module doc).  Both
+                # semi-joins BROADCAST the small side — the prepared edge
+                # table is scanned in place, never shuffled (a dst-keyed
+                # shuffle of the edge table costs more than the full blob
+                # gather it replaces; measured on RMAT scale 19).
                 ep = prepared.edges_p
                 touched = (
-                    ep.join(frontier.withColumnRenamed("node", "src"), "src", "leftsemi")
+                    ep.join(
+                        F.broadcast(frontier.withColumnRenamed("node", "src")),
+                        "src",
+                        "leftsemi",
+                    )
                     .select(F.col("dst").alias("node"))
                     .distinct()
+                    .localCheckpoint(eager=True)
                 )
-                lw = (
-                    ep.join(touched.withColumnRenamed("node", "dst"), "dst", "leftsemi")
-                    .join(
-                        labels.select(F.col("node").alias("src"), "label"), "src"
+                if touched.count() <= touched_max:
+                    lw = (
+                        ep.join(
+                            F.broadcast(touched.withColumnRenamed("node", "dst")),
+                            "dst",
+                            "leftsemi",
+                        )
+                        .join(
+                            labels.select(F.col("node").alias("src"), "label"), "src"
+                        )
+                        .groupBy(F.col("dst").alias("node"), "label")
+                        .agg(F.sum("weight").alias("wsum"))
                     )
-                    .groupBy(F.col("dst").alias("node"), "label")
-                    .agg(F.sum("weight").alias("wsum"))
-                )
-            else:
+            if lw is None:
                 msgs = labels.select("node", F.col("label").cast("double").alias("value"))
                 lw = prepared.gather(msgs, OP_LABEL_WSUM)
         else:

@@ -420,3 +420,112 @@ def forest_fire_score(
     sym.unpersist()
     verts.unpersist()
     return out
+
+
+def edge_score_blender(
+    scores0: DataFrame, scores1: DataFrame, selection: DataFrame
+) -> DataFrame:
+    """EdgeScoreBlender (``cpp/edgescores/EdgeScoreBlender.cpp:15-27``):
+    per edge, take ``scores1`` where ``selection.sel`` is true else
+    ``scores0``.  All inputs keyed (src, dst)."""
+    return (
+        scores0.withColumnRenamed("score", "s0")
+        .join(scores1.withColumnRenamed("score", "s1"), ["src", "dst"])
+        .join(selection, ["src", "dst"])
+        .select(
+            "src", "dst",
+            F.when(F.col("sel"), F.col("s1")).otherwise(F.col("s0")).alias("score"),
+        )
+    )
+
+
+def edge_score_as_weight(
+    graph: EdgeGraph,
+    scores: DataFrame,
+    squared: bool = False,
+    offset: float = 1.0,
+    factor: float = 1.0,
+) -> EdgeGraph:
+    """EdgeScoreAsWeight (``cpp/edgescores/EdgeScoreAsWeight.cpp:16-36``):
+    new weighted graph with w = offset + factor·score (or score²)."""
+    s = F.col("score") * F.col("score") if squared else F.col("score")
+    e = graph.edges.join(scores, ["src", "dst"]).select(
+        "src", "dst", (F.lit(offset) + F.lit(factor) * s).alias("weight")
+    )
+    return EdgeGraph(e, graph.directed, True)
+
+
+def prefix_jaccard_score(graph: EdgeGraph, attribute: DataFrame) -> DataFrame:
+    """PrefixJaccardScore (``cpp/edgescores/PrefixJaccardScore.cpp:18-144``):
+    per edge (u,v), the MAX over rank prefixes r of the Jaccard
+    similarity between u's and v's top-r neighbors, neighbors ranked by
+    ``attribute`` descending (competition ranking — ties share a rank,
+    ``:55-76``); the partner endpoints are excluded (``:98-101,116-119``).
+
+    Spark shape: rank neighbors per node (one window over the scored
+    adjacency), full-outer-join u's and v's ranked lists per edge, turn
+    each neighbor into cumulative count events at its ranks, and take
+    the max Jaccard over the per-edge rank window — O(Σ_e deg(u)+deg(v))
+    rows, the measure's inherent cost, all in window functions."""
+    e = graph.edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    att_sym = attribute.select("src", "dst", "score").unionByName(
+        attribute.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+        )
+    )
+    rw = Window.partitionBy("src").orderBy(F.desc("score"))
+    ranked = att_sym.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"), F.rank().over(rw).alias("r")
+    )
+    u_side = e.join(
+        ranked.withColumnRenamed("node", "src").withColumnRenamed("nbr", "w").withColumnRenamed("r", "ru"),
+        "src",
+    ).where(F.col("w") != F.col("dst"))
+    v_side = e.join(
+        ranked.withColumnRenamed("node", "dst").withColumnRenamed("nbr", "w").withColumnRenamed("r", "rv"),
+        "dst",
+    ).where(F.col("w") != F.col("src"))
+    both = u_side.join(v_side, ["src", "dst", "w"], "full_outer").select(
+        "src", "dst", "w", "ru", "rv"
+    )
+    # events: a neighbor enters u's prefix at ru, v's at rv, the common
+    # set at max(ru, rv)
+    ev = (
+        both.select("src", "dst", F.col("ru").alias("r"), F.lit(1).alias("du"), F.lit(0).alias("dv"), F.lit(0).alias("dc"))
+        .where(F.col("r").isNotNull())
+        .unionByName(
+            both.select(
+                "src", "dst", F.col("rv").alias("r"),
+                F.lit(0).alias("du"), F.lit(1).alias("dv"), F.lit(0).alias("dc"),
+            ).where(F.col("r").isNotNull())
+        )
+        .unionByName(
+            both.where(F.col("ru").isNotNull() & F.col("rv").isNotNull())
+            .select(
+                "src", "dst", F.greatest("ru", "rv").alias("r"),
+                F.lit(0).alias("du"), F.lit(0).alias("dv"), F.lit(1).alias("dc"),
+            )
+        )
+    )
+    cw = Window.partitionBy("src", "dst").orderBy("r")
+    cum = ev.groupBy("src", "dst", "r").agg(
+        F.sum("du").alias("du"), F.sum("dv").alias("dv"), F.sum("dc").alias("dc")
+    ).select(
+        "src", "dst",
+        F.sum("du").over(cw).alias("un"),
+        F.sum("dv").over(cw).alias("vn"),
+        F.sum("dc").over(cw).alias("cn"),
+    )
+    jacc = cum.select(
+        "src", "dst",
+        F.when(
+            F.col("un") + F.col("vn") - F.col("cn") > 0,
+            F.col("cn") / (F.col("un") + F.col("vn") - F.col("cn")),
+        ).otherwise(F.lit(0.0)).alias("j"),
+    )
+    best = jacc.groupBy("src", "dst").agg(F.max("j").alias("score"))
+    return e.join(best, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

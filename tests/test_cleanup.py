@@ -87,6 +87,46 @@ def test_spurious_attached_node_is_stripped(spark):
     assert out == set(range(8))
 
 
+def test_merge_discarded_reassembles_split_clique(spark):
+    """mergeDiscarded (MergeCommunities.cpp:31-287): a significant clique
+    presented as two insignificant halves must come back as ONE merged
+    significant community; pure-noise discards must stay out."""
+    # bigger sparse background (n=300) so the significance statistics
+    # have room: in the 60-node fixture an 18-node candidate is a third
+    # of the graph and nothing is rejectable
+    rng = random.Random(11)
+    edges = set()
+    for i in range(8):
+        for j in range(i + 1, 8):
+            edges.add((i, j))
+    for _ in range(450):
+        u, v = rng.randrange(300), rng.randrange(300)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    g = EdgeGraph.from_edges(edges_df(spark, sorted(edges)))
+    # each half mixes 4 clique members with 5 noise nodes: its cleanup
+    # result (the re-adopted full clique) overlaps the original < 0.5 →
+    # smallOverlap discards BOTH halves, so only merge can recover them
+    halves = (
+        [(u, 10) for u in (0, 1, 2, 3, 120, 131, 142, 153, 117)]
+        + [(u, 11) for u in (4, 5, 6, 7, 128, 139, 150, 121, 132)]
+    )
+    noise = [(u, 12) for u in (122, 133, 144, 155)]
+    cover = _cover_df(spark, halves + noise)
+    base = significance_cleanup(g, cover)
+    base_comms = {r["community"] for r in base.collect()}
+    merged = significance_cleanup(g, cover, merge_discarded=True)
+    by_comm = {}
+    for r in merged.collect():
+        by_comm.setdefault(r["community"], set()).add(r["node"])
+    # some community (possibly after re-adoption) now holds the whole clique
+    assert any(set(range(8)) <= m for m in by_comm.values()), by_comm
+    # merge never drops previously-kept communities
+    assert base_comms <= set(by_comm)
+    # scattered noise nodes are still not grouped together
+    assert not any({120, 131, 142, 153} <= m for m in by_comm.values())
+
+
 def test_left_out_member_is_adopted(spark):
     g = EdgeGraph.from_edges(edges_df(spark, _noisy_clique_graph()))
     cover = _cover_df(spark, [(u, 0) for u in range(7)])  # member 7 missing

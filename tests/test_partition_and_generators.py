@@ -155,3 +155,37 @@ def test_lfr_ground_truth_quality(spark):
     cov = ego_splitting(g)
     f1 = cover_f1(cov, truth.join(cov.select("node").distinct(), "node", "leftsemi"))
     assert f1 >= 0.8, f1
+
+
+def test_hyperbolic_pruned_equals_brute(spark):
+    """The core-broadcast + sector-adjacency pruning must reproduce the
+    exact n² threshold graph edge-for-edge (HyperbolicGenerator.h:21-46
+    semantics; pruning is an optimization, never a semantic)."""
+    from networkit_spark.operators.generators import hyperbolic
+
+    pruned = hyperbolic(spark, 400, avg_degree=8.0, exp=3.0, seed=5)
+    brute = hyperbolic(spark, 400, avg_degree=8.0, exp=3.0, seed=5, brute=True)
+    ep = {(r["src"], r["dst"]) for r in pruned.edges.collect()}
+    eb = {(r["src"], r["dst"]) for r in brute.edges.collect()}
+    assert ep == eb
+    assert len(eb) > 400  # non-trivial graph
+
+
+def test_hyperbolic_powerlaw_and_clustering(spark):
+    """README's hyperbolic usage example: power-law degrees with high
+    clustering.  At n=3000, exp=3: heavy degree tail (max >> mean) and
+    mean local clustering in the cold-RHG ballpark (>= 0.6; the README
+    quotes ~0.7 at 1e5 nodes)."""
+    from networkit_spark.operators.generators import hyperbolic
+    from networkit_spark.operators.triangles import local_clustering_coefficient
+    from pyspark.sql import functions as F
+
+    g = hyperbolic(spark, 3000, avg_degree=10.0, exp=3.0, seed=9)
+    deg = g.degrees()
+    stats = deg.agg(F.avg("deg").alias("mean"), F.max("deg").alias("mx")).collect()[0]
+    assert 5.0 <= stats["mean"] <= 20.0  # target avg degree honored
+    assert stats["mx"] >= 8 * stats["mean"]  # heavy power-law tail
+    lcc = local_clustering_coefficient(g)
+    elig = lcc.join(deg.where(F.col("deg") >= 2), "node")
+    mean_cc = elig.agg(F.avg("lcc")).collect()[0][0]
+    assert mean_cc >= 0.6

@@ -71,3 +71,50 @@ def test_no_triangles(spark):
     g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (2, 3)]))
     assert total_triangles(g) == 0
     assert all(r["triangles"] == 0 for r in triangle_counts(g).collect())
+
+
+def test_approx_avg_local_cc_within_ci(spark):
+    """approxAvgLocal (ClusteringCoefficient.cpp:133-165): the sampled
+    closed-wedge fraction must sit within a 4-sigma binomial CI of the
+    exact eligible-node average on fixtures at both extremes."""
+    from networkit_spark.operators.triangles import approx_avg_local_cc
+
+    # K4: every wedge closes → exact 1.0, estimator must be exactly 1.0
+    g = EdgeGraph.from_edges(edges_df(spark, K4))
+    assert approx_avg_local_cc(g, trials=200, seed=1) == pytest.approx(1.0)
+    # star: no wedge closes → exactly 0.0
+    star = [(0, i) for i in range(1, 9)]
+    gs = EdgeGraph.from_edges(edges_df(spark, star))
+    assert approx_avg_local_cc(gs, trials=200, seed=1) == pytest.approx(0.0)
+    # mixed fixture: CI check against the exact avg over deg>=2 nodes
+    g2 = EdgeGraph.from_edges(edges_df(spark, TWO_TRI + [(3, 4), (4, 5)]))
+    exact = {r["node"]: r["lcc"] for r in local_clustering_coefficient(g2).collect()}
+    deg = {}
+    for u, v in TWO_TRI + [(3, 4), (4, 5)]:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    elig = [n for n, d in deg.items() if d >= 2]
+    mean = sum(exact[n] for n in elig) / len(elig)
+    trials = 3000
+    est = approx_avg_local_cc(g2, trials=trials, seed=7)
+    sigma = (mean * (1 - mean) / trials) ** 0.5
+    assert abs(est - mean) <= 4 * sigma + 1e-9
+
+
+def test_approx_global_cc_within_ci(spark):
+    """approxGlobal (ClusteringCoefficient.cpp:221-281): wedge-weighted
+    sampling estimates 3·triangles/wedges; CI check on a skewed fixture
+    (hub wedges dominate, so uniform sampling would be biased — this
+    asserts the weighted sampler specifically)."""
+    from networkit_spark.operators.triangles import approx_global_cc
+
+    # hub 0 with 10 leaves (open wedges) + a triangle 10-11-12
+    edges = [(0, i) for i in range(1, 11)] + [(10, 11), (11, 12), (10, 12)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    exact = global_clustering_coefficient(g)
+    trials = 4000
+    est = approx_global_cc(g, trials=trials, seed=11)
+    sigma = (exact * (1 - exact) / trials) ** 0.5
+    assert abs(est - exact) <= 4 * sigma + 1e-9
+    # determinism: same seed, same estimate
+    assert approx_global_cc(g, trials=500, seed=3) == approx_global_cc(g, trials=500, seed=3)
