@@ -486,6 +486,85 @@ def _q_dynbfs(spark, sf_dir):
     return d1.select("node", F.col("dist").cast("long").alias("dist"))
 
 
+def _ps_subgraph(spark, sf_dir, max_part=300):
+    """Part–supplier induced subgraph (parts with partkey <= max_part):
+    small enough for the DuckDB all-pairs recursive-BFS oracle while
+    still exercising the distributed state tables."""
+    from networkit_spark.linkgraph.extract import PART_OFFSET, SUPP_OFFSET
+    from networkit_spark.graph import EdgeGraph
+
+    g = tpch_link_graph(spark, sf_dir)
+    e = g.edges.where(
+        (F.col("src") >= PART_OFFSET)
+        & (F.col("src") <= PART_OFFSET + max_part)
+        & (F.col("dst") >= SUPP_OFFSET)
+    )
+    return EdgeGraph(e, g.directed, g.weighted)
+
+
+_PS_EDGES_SQL = """
+ps AS (
+  SELECT src AS u, dst AS v FROM edges
+  WHERE src >= 1000000 AND src <= 1000300 AND dst >= 2000000
+),
+pssym AS (SELECT u, v FROM ps UNION ALL SELECT v, u FROM ps),
+psnodes AS (SELECT DISTINCT u AS node FROM pssym)
+"""
+
+
+def _dynapsp_state(spark, sf_dir):
+    """Shared by the two DynAPSP gate rows: hold out the 3 lexicographically
+    largest subgraph edges, build the all-pairs state on the rest, and
+    apply the held-out edges as an EDGE_ADDITION batch — so the Spark
+    side exercises the DYNAMIC path while the oracle is static SQL on
+    the full subgraph (dyn ≡ static, the Dyn* test contract)."""
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.streaming.dyndist import apsp_state, incremental_apsp
+
+    g = _ps_subgraph(spark, sf_dir)
+    held = g.edges.orderBy(F.desc("src"), F.desc("dst")).limit(3).collect()
+    held_keys = {(r["src"], r["dst"]) for r in held}
+    base = EdgeGraph(
+        g.edges.join(
+            spark.createDataFrame(list(held_keys), "src long, dst long"),
+            ["src", "dst"],
+            "left_anti",
+        ),
+        g.directed,
+        g.weighted,
+    )
+    st = apsp_state(base, hops=True)
+    ev = spark.createDataFrame(
+        [(1, "EDGE_ADDITION", int(s), int(d), 1.0) for s, d in sorted(held_keys)],
+        "batch long, kind string, u long, v long, w double",
+    )
+    return incremental_apsp(st, ev)
+
+
+def _q_dynapsp(spark, sf_dir):
+    """DynAPSP (§2.11): per-source hop-distance histogram after the
+    insertion batch.  Oracle = static all-pairs recursive BFS."""
+    st = _dynapsp_state(spark, sf_dir)
+    return (
+        st.dist.where(F.col("src") != F.col("dst"))
+        .groupBy("src", F.col("dist").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _q_dyn_topharmonic(spark, sf_dir):
+    """DynTopHarmonicCloseness (§2.11): top-10 harmonic closeness from
+    the dynamically-updated all-pairs state; deterministic
+    (rounded-score desc, node asc) ordering mirrored in the oracle."""
+    st = _dynapsp_state(spark, sf_dir)
+    scores = (
+        st.dist.where(F.col("src") != F.col("dst"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("score"))
+    )
+    return scores.orderBy(F.desc("score"), F.asc("node")).limit(10)
+
+
 def _q_ba_degrees(spark, sf_dir):
     """BarabasiAlbert generator (§2.13) degree histogram at a fixed seed
     — rows-only (the generator's hash-RNG is deterministic but not
@@ -651,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mapequation": _q_mapequation,
         "graph_jaccard_bb": _q_jaccard_bb,
         "graph_dynbfs": _q_dynbfs,
+        "graph_dynapsp": _q_dynapsp,
+        "graph_dyn_topharmonic": _q_dyn_topharmonic,
         "graph_ba_degrees": _q_ba_degrees,
         "graph_kcore": _q_kcore,
         "graph_plm": _q_plm,
@@ -1254,6 +1335,34 @@ reach(node, dist) AS (
   WHERE r.dist < 30
 )
 SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+""",
+        "graph_dynapsp": f"""
+WITH RECURSIVE edges AS ({_EDGES}),
+{_PS_EDGES_SQL},
+reach(src, node, dist) AS (
+  SELECT node, node, CAST(0 AS BIGINT) FROM psnodes
+  UNION
+  SELECT r.src, sy.v, r.dist + 1
+  FROM reach r JOIN pssym sy ON sy.u = r.node
+  WHERE r.dist < 30
+),
+mind AS (SELECT src, node, MIN(dist) AS dist FROM reach GROUP BY src, node)
+SELECT src, dist, COUNT(*) AS n_pairs FROM mind WHERE src <> node GROUP BY src, dist
+""",
+        "graph_dyn_topharmonic": f"""
+WITH RECURSIVE edges AS ({_EDGES}),
+{_PS_EDGES_SQL},
+reach(src, node, dist) AS (
+  SELECT node, node, CAST(0 AS BIGINT) FROM psnodes
+  UNION
+  SELECT r.src, sy.v, r.dist + 1
+  FROM reach r JOIN pssym sy ON sy.u = r.node
+  WHERE r.dist < 30
+),
+mind AS (SELECT src, node, MIN(dist) AS dist FROM reach GROUP BY src, node)
+SELECT node, ROUND(SUM(1.0 / dist), 6) AS score
+FROM mind WHERE src <> node GROUP BY node
+ORDER BY score DESC, node LIMIT 10
 """,
         "graph_mapeq_score": f"""
 WITH {_GRAPH_CTES},

@@ -479,31 +479,32 @@ def prefix_jaccard_score(graph: EdgeGraph, attribute: DataFrame) -> DataFrame:
     ranked = att_sym.select(
         F.col("src").alias("node"), F.col("dst").alias("nbr"), F.rank().over(rw).alias("r")
     )
+    # each side feeds BOTH the event union and the common-neighbor join —
+    # persist so the O(Σ_e deg) join output is produced once, not twice
     u_side = e.join(
         ranked.withColumnRenamed("node", "src").withColumnRenamed("nbr", "w").withColumnRenamed("r", "ru"),
         "src",
-    ).where(F.col("w") != F.col("dst"))
+    ).where(F.col("w") != F.col("dst")).persist()
     v_side = e.join(
         ranked.withColumnRenamed("node", "dst").withColumnRenamed("nbr", "w").withColumnRenamed("r", "rv"),
         "dst",
-    ).where(F.col("w") != F.col("src"))
-    both = u_side.join(v_side, ["src", "dst", "w"], "full_outer").select(
-        "src", "dst", "w", "ru", "rv"
-    )
+    ).where(F.col("w") != F.col("src")).persist()
     # events: a neighbor enters u's prefix at ru, v's at rv, the common
-    # set at max(ru, rv)
+    # set at max(ru, rv).  The u/v events ARE the per-side rows; only the
+    # common-set events need the (edge, neighbor) join — INNER, so its
+    # output is just the triangle incidences, not the padded union that a
+    # full-outer join of the two O(Σ_e deg) sides would materialize.
+    common = u_side.join(v_side.select("src", "dst", "w", "rv"), ["src", "dst", "w"])
     ev = (
-        both.select("src", "dst", F.col("ru").alias("r"), F.lit(1).alias("du"), F.lit(0).alias("dv"), F.lit(0).alias("dc"))
-        .where(F.col("r").isNotNull())
+        u_side.select("src", "dst", F.col("ru").alias("r"), F.lit(1).alias("du"), F.lit(0).alias("dv"), F.lit(0).alias("dc"))
         .unionByName(
-            both.select(
+            v_side.select(
                 "src", "dst", F.col("rv").alias("r"),
                 F.lit(0).alias("du"), F.lit(1).alias("dv"), F.lit(0).alias("dc"),
-            ).where(F.col("r").isNotNull())
+            )
         )
         .unionByName(
-            both.where(F.col("ru").isNotNull() & F.col("rv").isNotNull())
-            .select(
+            common.select(
                 "src", "dst", F.greatest("ru", "rv").alias("r"),
                 F.lit(0).alias("du"), F.lit(0).alias("dv"), F.lit(1).alias("dc"),
             )
@@ -525,7 +526,13 @@ def prefix_jaccard_score(graph: EdgeGraph, attribute: DataFrame) -> DataFrame:
             F.col("cn") / (F.col("un") + F.col("vn") - F.col("cn")),
         ).otherwise(F.lit(0.0)).alias("j"),
     )
-    best = jacc.groupBy("src", "dst").agg(F.max("j").alias("score"))
+    # materialize the per-edge maxima (|E| rows) so the big sides can be
+    # unpersisted before returning — no executor-cache leak across calls
+    best = jacc.groupBy("src", "dst").agg(F.max("j").alias("score")).localCheckpoint(
+        eager=True
+    )
+    u_side.unpersist()
+    v_side.unpersist()
     return e.join(best, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
     )

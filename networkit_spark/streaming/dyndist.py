@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from networkit_spark.graph import EdgeGraph
+from networkit_spark.graph import EdgeGraph, truncate_lineage
 from networkit_spark.streaming.events import (
     EDGE_ADDITION,
     apply_events,
@@ -284,3 +284,171 @@ def incremental_betweenness(
     dist_all = dist_all.localCheckpoint(eager=True)
     delta_all = delta_all.localCheckpoint(eager=True)
     return BetweennessState(new_graph, state.sources, dist_all, delta_all)
+
+
+# ---------------------------------------------------------------------------
+# DynAPSP (all pairs) + DynTopHarmonicCloseness
+# ---------------------------------------------------------------------------
+
+
+class APSPState:
+    """Resumable all-pairs state: ``dist`` = (src, dst, dist) for every
+    ordered REACHABLE pair (unreachable pairs are absent — same sparse
+    convention as ``bfs``/``sssp``).  O(n²) rows by nature: the
+    reference's ``DynAPSP`` (``cpp/distance/DynAPSP.h:24-33``) keeps the
+    same n² matrix in shared memory; at scale the table lives as parquet
+    partitioned by ``src`` and every update below is a broadcast-join
+    scan of it, so the state never funnels through the driver."""
+
+    def __init__(self, graph: EdgeGraph, dist: DataFrame, hops: bool):
+        self.graph = graph
+        self.dist = dist
+        self.hops = hops
+
+    def distances(self) -> DataFrame:
+        return self.dist
+
+
+def apsp_state(graph: EdgeGraph, hops: bool = True, max_rounds: int = 256) -> APSPState:
+    """``DynAPSP::run`` (``cpp/distance/DynAPSP.cpp:29-43``) runs one
+    SSSP per node; here ALL sources advance together in one min-plus
+    superstep loop over the (src, dst) keyed table — n BFS wavefronts
+    share each edge scan instead of n driver-side loops."""
+    w = F.lit(1.0) if hops else F.col("weight")
+    sym = graph.sym().select("src", "dst", w.alias("weight")).persist()
+    dist = (
+        graph.vertices()
+        .select(F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for rnd in range(max_rounds):
+        hop = sym.select(
+            F.col("src").alias("dst"), F.col("dst").alias("nxt"), "weight"
+        )
+        cand = (
+            frontier.join(hop, "dst")
+            .groupBy("src", F.col("nxt").alias("dst"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        merged = dist.join(cand, ["src", "dst"], "full_outer").select(
+            "src", "dst",
+            F.least(
+                F.coalesce("dist", F.lit(_INF)), F.coalesce("cand", F.lit(_INF))
+            ).alias("dist"),
+            (
+                F.coalesce("cand", F.lit(_INF)) < F.coalesce("dist", F.lit(_INF))
+            ).alias("chg"),
+        )
+        merged = truncate_lineage(merged, rnd + 1, every=8)
+        frontier = merged.where("chg").select("src", "dst", "dist")
+        dist = merged.select("src", "dst", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    sym.unpersist()
+    return APSPState(graph, dist, hops)
+
+
+def incremental_apsp(state: APSPState, events: DataFrame) -> APSPState:
+    """``DynAPSP::update`` (``cpp/distance/DynAPSP.cpp:65-160``): after
+    inserting (u, v, w'), the only new shortest paths route through the
+    new edge, so d'(x, y) = min(d(x, y), d(x, u) + w' + d(v, y)) — the
+    reference's phase-1/phase-2 truncated BFSs enumerate exactly the
+    (x, y) pairs this formula improves.  Spark shape: the rule IS one
+    pass over the state — broadcast the distance vector INTO u and the
+    vector FROM v, nested-loop them into a candidate table, min-merge
+    with the state.  A batch is applied jointly and iterated to fixpoint
+    (≤ |batch| rounds: a positive-weight shortest path uses each new
+    edge at most once).  Non-insertion batches rebuild statically, as in
+    the reference (insertions/weight-decreases only, ``:71-73``)."""
+    new_graph = apply_events(state.graph, events)
+    if new_graph.directed or not _batch_is_incremental(events):
+        # directed fallback: _added_edges canonicalizes endpoint order,
+        # so the warm start below would relax through reverse edges —
+        # same guard as incremental_sssp
+        return apsp_state(new_graph, state.hops)
+
+    added = _added_edges(events, state.hops).collect()
+    if not added:
+        return APSPState(new_graph, state.dist, state.hops)
+
+    dist = state.dist
+    # vertices introduced by the batch need their (v, v, 0) seed row
+    fresh = (
+        new_graph.vertices()
+        .join(
+            dist.where(F.col("src") == F.col("dst")).select(F.col("src").alias("id")),
+            "id",
+            "left_anti",
+        )
+        .select(F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(0.0).alias("dist"))
+    )
+    dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+
+    for rnd in range(len(added)):
+        cands = []
+        for row in added:
+            for a, b in ((row["src"], row["dst"]), (row["dst"], row["src"])):
+                into_a = dist.where(F.col("dst") == a).select(
+                    F.col("src").alias("x"), (F.col("dist") + F.lit(row["weight"])).alias("dxa")
+                )
+                from_b = dist.where(F.col("src") == b).select(
+                    F.col("dst").alias("y"), F.col("dist").alias("dby")
+                )
+                cands.append(
+                    into_a.crossJoin(F.broadcast(from_b)).select(
+                        F.col("x").alias("src"),
+                        F.col("y").alias("dst"),
+                        (F.col("dxa") + F.col("dby")).alias("cand"),
+                    )
+                )
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.groupBy("src", "dst").agg(F.min("cand").alias("cand"))
+        merged = dist.join(cand, ["src", "dst"], "full_outer").select(
+            "src", "dst",
+            F.least(
+                F.coalesce("dist", F.lit(_INF)), F.coalesce("cand", F.lit(_INF))
+            ).alias("dist"),
+            (
+                F.coalesce("cand", F.lit(_INF)) < F.coalesce("dist", F.lit(_INF))
+            ).alias("chg"),
+        ).localCheckpoint(eager=True)
+        improved = merged.where("chg").limit(1).count() > 0
+        dist = merged.select("src", "dst", "dist")
+        if not improved:
+            break
+    return APSPState(new_graph, dist, state.hops)
+
+
+class DynTopHarmonicCloseness:
+    """``DynTopHarmonicCloseness`` (``cpp/centrality/
+    DynTopHarmonicCloseness.h:30-48``): top-k harmonic closeness kept
+    current under edge-insertion batches.  Rides on ``APSPState`` — the
+    reference maintains per-node BFS information for the same purpose;
+    here ``ranking()`` is one aggregate over the shared distance table,
+    so every update's cost is the (pruned) APSP update itself."""
+
+    def __init__(self, graph: EdgeGraph, k: int = 10, hops: bool = True):
+        self.k = k
+        self.state = apsp_state(graph, hops=hops)
+
+    def update(self, events: DataFrame) -> "DynTopHarmonicCloseness":
+        self.state = incremental_apsp(self.state, events)
+        return self
+
+    def ranking(self) -> DataFrame:
+        """(node, score) — top-k by harmonic sum, deterministic
+        (score desc, node asc) like ``top_closeness``."""
+        scores = (
+            self.state.dist.where(F.col("src") != F.col("dst"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(1.0 / F.col("dist")).alias("score"))
+        )
+        full = (
+            self.state.graph.vertices()
+            .join(scores, F.col("id") == F.col("node"), "left")
+            .select(F.col("id").alias("node"), F.coalesce("score", F.lit(0.0)).alias("score"))
+        )
+        return full.orderBy(F.desc("score"), F.asc("node")).limit(self.k)

@@ -114,3 +114,107 @@ def test_dynbetweenness_unaffected_sources_keep_cached_tables(spark):
     # the 10-11-12 path's middle node keeps its exact dependency (2 = both
     # orderings of the endpoint pair)
     assert got[11] == pytest.approx(2.0)
+
+
+# ---------------------------------------------------------------------------
+# DynAPSP + DynTopHarmonicCloseness
+# ---------------------------------------------------------------------------
+
+
+def _apsp_dict(state):
+    return {(r["src"], r["dst"]): r["dist"] for r in state.dist.collect()}
+
+
+def test_apsp_state_matches_per_source_bfs(spark):
+    from networkit_spark.streaming.dyndist import apsp_state
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (2, 3), (0, 4), (5, 6)]))
+    got = _apsp_dict(apsp_state(g, hops=True))
+    for s in [0, 1, 2, 3, 4, 5, 6]:
+        want = {r["node"]: float(r["dist"]) for r in bfs(g, s).collect()}
+        for t, d in want.items():
+            assert got[(s, t)] == d
+    # unreachable pairs are absent (sparse convention)
+    assert (0, 5) not in got
+
+
+def test_dynapsp_insertion_matches_static(spark):
+    from networkit_spark.streaming.dyndist import apsp_state, incremental_apsp
+
+    g = _path_graph(spark, n=8)
+    st = apsp_state(g, hops=True)
+    ev = _events(spark, [(1, "EDGE_ADDITION", 0, 6, 1.0)])
+    st2 = incremental_apsp(st, ev)
+    want = _apsp_dict(apsp_state(st2.graph, hops=True))
+    assert _apsp_dict(st2) == pytest.approx(want)
+    assert _apsp_dict(st2)[(0, 7)] == 2.0  # 0 -> 6 -> 7
+
+
+def test_dynapsp_batch_uses_both_new_edges(spark):
+    """A shortest path through TWO batch edges needs the fixpoint loop:
+    one candidate pass composes only a single new edge."""
+    from networkit_spark.streaming.dyndist import apsp_state, incremental_apsp
+
+    g = _path_graph(spark, n=12)
+    st = apsp_state(g, hops=True)
+    ev = _events(
+        spark,
+        [(1, "EDGE_ADDITION", 0, 5, 1.0), (1, "EDGE_ADDITION", 5, 10, 1.0)],
+    )
+    st2 = incremental_apsp(st, ev)
+    got = _apsp_dict(st2)
+    assert got[(0, 10)] == 2.0  # 0 -> 5 -> 10, both edges new
+    assert got[(0, 11)] == 3.0
+    want = _apsp_dict(apsp_state(st2.graph, hops=True))
+    assert got == pytest.approx(want)
+
+
+def test_dynapsp_connects_components_and_new_nodes(spark):
+    from networkit_spark.streaming.dyndist import apsp_state, incremental_apsp
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (5, 6)]))
+    st = apsp_state(g, hops=True)
+    ev = _events(
+        spark,
+        [(1, "EDGE_ADDITION", 1, 5, 1.0), (1, "EDGE_ADDITION", 6, 9, 1.0)],
+    )
+    st2 = incremental_apsp(st, ev)
+    got = _apsp_dict(st2)
+    assert got[(0, 6)] == 3.0
+    assert got[(0, 9)] == 4.0  # node 9 is new in the batch
+    assert got[(9, 9)] == 0.0
+    want = _apsp_dict(apsp_state(st2.graph, hops=True))
+    assert got == pytest.approx(want)
+
+
+def test_dynapsp_weighted_decrease_path(spark):
+    from networkit_spark.streaming.dyndist import apsp_state, incremental_apsp
+
+    edges = [(0, 1, 4.0), (1, 2, 4.0), (2, 3, 4.0)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    st = apsp_state(g, hops=False)
+    ev = _events(spark, [(1, "EDGE_ADDITION", 0, 2, 1.5)])
+    st2 = incremental_apsp(st, ev)
+    got = _apsp_dict(st2)
+    assert got[(0, 3)] == pytest.approx(5.5)
+    assert got[(3, 0)] == pytest.approx(5.5)
+    want = _apsp_dict(apsp_state(st2.graph, hops=False))
+    assert got == pytest.approx(want)
+
+
+def test_dyn_top_harmonic_matches_static_closeness(spark):
+    from networkit_spark.operators.closeness import closeness
+    from networkit_spark.streaming.dyndist import DynTopHarmonicCloseness
+
+    g = _path_graph(spark, n=8)
+    dyn = DynTopHarmonicCloseness(g, k=4)
+    ev = _events(spark, [(1, "EDGE_ADDITION", 0, 7, 1.0)])
+    dyn.update(ev)
+    got = [(r["node"], r["score"]) for r in dyn.ranking().collect()]
+    want_scores = {
+        r["node"]: r["score"]
+        for r in closeness(dyn.state.graph, harmonic=True).collect()
+    }
+    want = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert [n for n, _ in got] == [n for n, _ in want]
+    assert [s for _, s in got] == pytest.approx([s for _, s in want])
