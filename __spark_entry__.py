@@ -330,6 +330,21 @@ def _q_linkpred(spark, sf_dir):
     return _topk_ranked(s, 500, [F.desc("jaccard"), F.asc("u"), F.asc("v")])
 
 
+def _q_linkpred_ext(spark, sf_dir):
+    """Round-out link-prediction indices (TotalNeighbors, U/VDegree,
+    AdjustedRand — intended set-difference semantics, see the module
+    docstring) on the same distance-2 candidate set; deterministic
+    top-500 by adjusted_rand."""
+    from networkit_spark.operators.linkpred import link_prediction_scores
+
+    g = tpch_link_graph(spark, sf_dir)
+    s = link_prediction_scores(g, only_missing=True).select(
+        "u", "v", "total_neighbors", "u_degree", "v_degree",
+        F.round("adjusted_rand", 6).alias("adjusted_rand"),
+    )
+    return _topk_ranked(s, 500, [F.desc("adjusted_rand"), F.asc("u"), F.asc("v")])
+
+
 def _q_modularity_kind(spark, sf_dir):
     """Modularity of the customer/part/supplier partition (scalar)."""
     from networkit_spark.operators.quality import modularity
@@ -718,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _q_lsh_topk,
         "events_hourly": _q_events_hourly,
         "graph_linkpred": _q_linkpred,
+        "graph_linkpred_ext": _q_linkpred_ext,
         "graph_modularity_kind": _q_modularity_kind,
         "graph_hub_dominance": _q_hub_dominance,
         "graph_intra_density": _q_intrapartition_density,
@@ -1194,6 +1210,51 @@ scored AS (
 )
 SELECT u, v, common_neighbors, jaccard, adamic_adar, resource_alloc, pref_attachment, rnk
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC) AS rnk FROM scored)
+WHERE rnk <= 500
+""",
+        "graph_linkpred_ext": f"""
+WITH {_GRAPH_CTES},
+e AS (SELECT src, dst FROM edges),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+wed AS (
+  SELECT a.v AS z, a.u AS u, b.u AS v
+  FROM (SELECT v, u FROM sym) a JOIN (SELECT v, u FROM sym) b ON a.v = b.v
+  WHERE a.u < b.u
+),
+inter AS (
+  SELECT w.u, w.v, COUNT(*) AS cn FROM wed w GROUP BY w.u, w.v
+),
+scored AS (
+  SELECT i.u, i.v,
+         du.deg + dv.deg - i.cn AS total_neighbors,
+         du.deg AS u_degree, dv.deg AS v_degree,
+         ROUND(
+           CASE WHEN (CAST(i.cn AS DOUBLE) * (du.deg - i.cn)
+                     + CAST(i.cn AS DOUBLE) * (dv.deg - i.cn)
+                     + 2.0 * i.cn * (nn.n - (du.deg + dv.deg - i.cn))
+                     + CAST(du.deg - i.cn AS DOUBLE) * (du.deg - i.cn)
+                     + CAST(du.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
+                     + CAST(dv.deg - i.cn AS DOUBLE) * (dv.deg - i.cn)
+                     + CAST(dv.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))) = 0
+                THEN 0.0
+                ELSE 2.0 * (CAST(i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
+                            - CAST(du.deg - i.cn AS DOUBLE) * (dv.deg - i.cn))
+                     / (CAST(i.cn AS DOUBLE) * (du.deg - i.cn)
+                        + CAST(i.cn AS DOUBLE) * (dv.deg - i.cn)
+                        + 2.0 * i.cn * (nn.n - (du.deg + dv.deg - i.cn))
+                        + CAST(du.deg - i.cn AS DOUBLE) * (du.deg - i.cn)
+                        + CAST(du.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
+                        + CAST(dv.deg - i.cn AS DOUBLE) * (dv.deg - i.cn)
+                        + CAST(dv.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn)))
+           END, 6) AS adjusted_rand
+  FROM inter i JOIN deg du ON i.u = du.node JOIN deg dv ON i.v = dv.node
+  CROSS JOIN nn
+  LEFT JOIN e ON i.u = e.src AND i.v = e.dst
+  WHERE e.src IS NULL
+)
+SELECT u, v, total_neighbors, u_degree, v_degree, adjusted_rand, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY adjusted_rand DESC, u ASC, v ASC) AS rnk FROM scored)
 WHERE rnk <= 500
 """,
         "graph_modularity_kind": f"""

@@ -25,7 +25,20 @@ from networkit_spark.graph import EdgeGraph
 
 def link_prediction_scores(graph: EdgeGraph, only_missing: bool = True) -> DataFrame:
     """(u, v, common_neighbors, jaccard, adamic_adar, resource_alloc,
-    pref_attachment) for all distance-2 pairs (u < v)."""
+    pref_attachment, total_neighbors, u_degree, v_degree, adjusted_rand)
+    for all distance-2 pairs (u < v).
+
+    The round-out indices are all algebra over the same pass:
+    ``TotalNeighborsIndex`` = |N(u) ∪ N(v)| = du + dv − cn
+    (``cpp/linkprediction/TotalNeighborsIndex.cpp:13-15``);
+    ``UDegreeIndex``/``VDegreeIndex`` (``UDegreeIndex.cpp``);
+    ``AdjustedRandIndex`` (``AdjustedRandIndex.cpp:13-44``) with
+    a = cn, b = |N(u)∖N(v)|, c = |N(v)∖N(u)|, d = n − |N(u)∪N(v)|,
+    score = 2(ad − bc) / (ab + ac + 2ad + b² + bd + c² + cd).
+    Documented deviation: the reference's ``uDifference``/``vDifference``
+    are computed with ``std::set_union`` (``:29-32`` — so its b and c
+    both equal the union size, an apparent copy-paste slip); we compute
+    the set DIFFERENCES the surrounding formula calls for."""
     e = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -46,6 +59,14 @@ def link_prediction_scores(graph: EdgeGraph, only_missing: bool = True) -> DataF
         F.sum(1.0 / F.log("zdeg")).alias("adamic_adar"),
         F.sum(1.0 / F.col("zdeg")).alias("resource_alloc"),
     )
+    n = graph.num_nodes()
+    a_ = F.col("common_neighbors").cast("double")
+    b_ = (F.col("udeg") - F.col("common_neighbors")).cast("double")
+    c_ = (F.col("vdeg") - F.col("common_neighbors")).cast("double")
+    d_ = (F.lit(n) - (F.col("udeg") + F.col("vdeg") - F.col("common_neighbors"))).cast("double")
+    ari_den = (
+        a_ * b_ + a_ * c_ + 2.0 * a_ * d_ + b_ * b_ + b_ * d_ + c_ * c_ + c_ * d_
+    )
     scored = (
         inter.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "udeg"), "u")
         .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "vdeg"), "v")
@@ -60,6 +81,14 @@ def link_prediction_scores(graph: EdgeGraph, only_missing: bool = True) -> DataF
             "adamic_adar",
             "resource_alloc",
             (F.col("udeg") * F.col("vdeg")).cast("long").alias("pref_attachment"),
+            (F.col("udeg") + F.col("vdeg") - F.col("common_neighbors")).alias(
+                "total_neighbors"
+            ),
+            F.col("udeg").alias("u_degree"),
+            F.col("vdeg").alias("v_degree"),
+            F.when(ari_den != 0, 2.0 * (a_ * d_ - b_ * c_) / ari_den)
+            .otherwise(F.lit(0.0))
+            .alias("adjusted_rand"),
         )
     )
     if only_missing:
@@ -202,3 +231,71 @@ def auc(curve: DataFrame, x_col: str = "fpr", y_col: str = "tpr") -> float:
     for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
         area += (x1 - x0) * (y0 + y1) / 2.0
     return area
+
+
+def missing_links(graph: EdgeGraph, limit: int | None = None) -> DataFrame:
+    """``MissingLinksFinder`` (``cpp/linkprediction/MissingLinksFinder.h:24``):
+    all node pairs at distance EXACTLY 2 (share a neighbor, no edge) —
+    the candidate set every index scores.  (u, v) with u < v."""
+    out = link_prediction_scores(graph, only_missing=True).select("u", "v")
+    return out.orderBy("u", "v").limit(limit) if limit else out
+
+
+def same_community_index(
+    graph: EdgeGraph, partition: DataFrame | None = None, pairs: DataFrame | None = None
+) -> DataFrame:
+    """``SameCommunityIndex`` (``cpp/linkprediction/SameCommunityIndex.cpp:
+    15-35``): 1 iff both endpoints share a community; the reference
+    clusters with PLM when no partition is given — so do we.
+    ``partition`` = (node, label); ``pairs`` = (u, v), default = the
+    distance-2 candidate set."""
+    if partition is None:
+        from networkit_spark.operators.louvain import plm
+
+        partition = plm(graph)
+    if pairs is None:
+        pairs = missing_links(graph)
+    lu = partition.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lv = partition.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    return (
+        pairs.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            "u", "v",
+            F.when(
+                F.col("lu").isNotNull() & (F.col("lu") == F.col("lv")), 1.0
+            ).otherwise(0.0).alias("same_community"),
+        )
+    )
+
+
+def neighbors_measure_index(graph: EdgeGraph, pairs: DataFrame) -> DataFrame:
+    """``NeighborsMeasureIndex`` (``cpp/linkprediction/NeighborsMeasureIndex
+    .cpp:12-23``): for (u, v), count pairs (a ∈ N(u), b ∈ N(v)) with
+    a == b or (a, b) ∈ E — i.e. common neighbors plus u–a–b–v 3-paths
+    (with multiplicity).  The reference scores queried pairs one at a
+    time; the Spark form scores a QUERY SET of pairs in two joins.
+    O(Σ_pairs deg(u)·deg(v)) candidate rows by nature — meant for
+    bounded query sets, like the per-pair reference surface."""
+    e = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    na = sym.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+    nb = sym.select(F.col("src").alias("v"), F.col("dst").alias("b"))
+    cand = pairs.select("u", "v").join(na, "u").join(nb, "v")
+    hit = cand.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+            e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        ),
+        ["a", "b"],
+        "left_semi",
+    ).unionByName(cand.where(F.col("a") == F.col("b")).select("u", "v", "a", "b"))
+    agg = hit.groupBy("u", "v").agg(F.count(F.lit(1)).alias("neighbors_measure"))
+    return (
+        pairs.select("u", "v")
+        .join(agg, ["u", "v"], "left")
+        .select("u", "v", F.coalesce("neighbors_measure", F.lit(0)).alias("neighbors_measure"))
+    )

@@ -347,3 +347,58 @@ def test_linkpred_roc_pr_evaluation(spark):
     a_pr = auc(pr, "recall", "precision")
     base_rate = test_pos.count() / scored.count()
     assert a_pr > base_rate  # PR-AUC beats the positive prevalence baseline
+
+
+def test_linkpred_roundout_indices(spark):
+    """TotalNeighbors / U-V-Degree / AdjustedRand on the path 0-1-2
+    (pair (0,2): a=1, b=0, c=0, d=n-2=1) and the new per-pair
+    surfaces (SameCommunity, NeighborsMeasure, MissingLinksFinder)."""
+    from networkit_spark.operators.linkpred import (
+        link_prediction_scores,
+        missing_links,
+        neighbors_measure_index,
+        same_community_index,
+    )
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2)]))
+    r = link_prediction_scores(g).collect()[0]
+    assert r["total_neighbors"] == 1  # N(0) ∪ N(2) = {1}
+    assert (r["u_degree"], r["v_degree"]) == (1, 1)
+    # a=1, b=c=0, d = n − |union| = 3 − 1 = 2 → ARI = 2ad/2ad = 1.0
+    assert abs(r["adjusted_rand"] - 1.0) < 1e-12
+
+    ml = {(x["u"], x["v"]) for x in missing_links(g).collect()}
+    assert ml == {(0, 2)}
+
+    part = spark.createDataFrame([(0, 7), (1, 7), (2, 8)], "node long, label long")
+    sc = {
+        (x["u"], x["v"]): x["same_community"]
+        for x in same_community_index(g, partition=part).collect()
+    }
+    assert sc == {(0, 2): 0.0}
+    sc2 = same_community_index(
+        g, partition=part, pairs=spark.createDataFrame([(0, 1)], "u long, v long")
+    ).collect()[0]
+    assert sc2["same_community"] == 1.0
+
+    # square 0-1-3-2-0: pair (0,3) has common neighbors {1,2} AND the
+    # 3-path 0-1-...: count pairs (a∈N(0)={1,2}, b∈N(3)={1,2}) with
+    # a==b (2 hits) or (a,b)∈E (no 1-2 edge → 0) → 2
+    sq = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 3), (3, 2), (2, 0)]))
+    pairs = spark.createDataFrame([(0, 3), (1, 2)], "u long, v long")
+    nm = {
+        (x["u"], x["v"]): x["neighbors_measure"]
+        for x in neighbors_measure_index(sq, pairs).collect()
+    }
+    # (1,2): N(1)={0,3}, N(2)={0,3}; a==b twice; cross edges (0,3)? no
+    # edge 0-3; (3,0)? same → 2
+    assert nm == {(0, 3): 2, (1, 2): 2}
+
+    # triangle closes a 3-path: 0-1-2 plus edge 1-2 → pair (0,2):
+    # N(0)={1}, N(2)={0,1}... use K3 + pendant instead
+    k3 = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)]))
+    nm2 = neighbors_measure_index(
+        k3, spark.createDataFrame([(0, 3)], "u long, v long")
+    ).collect()[0]
+    # N(0)={1,2}, N(3)={2}: a==b for (2,2) → 1; edges (1,2) → 1 → total 2
+    assert nm2["neighbors_measure"] == 2
