@@ -330,6 +330,37 @@ def _q_linkpred(spark, sf_dir):
     return _topk_ranked(s, 500, [F.desc("jaccard"), F.asc("u"), F.asc("v")])
 
 
+def _q_local_coverage(spark, sf_dir):
+    """LocalPartitionCoverage (§2.8) against the customer/part/supplier
+    kind partition — per-node inside-cluster weight fraction."""
+    from networkit_spark.operators.quality import local_partition_coverage
+
+    g = tpch_link_graph(spark, sf_dir)
+    kind = g.vertices().select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") < 1_000_000, 0)
+        .when(F.col("id") < 2_000_000, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("label"),
+    )
+    return local_partition_coverage(g, kind).select(
+        "node", F.round("score", 6).alias("score")
+    )
+
+
+def _q_quadrangles(spark, sf_dir):
+    """ChibaNishizekiQuadrangleEdgeScore (§2.12) on the part–supplier
+    induced subgraph (the full link graph's quadrangle join is
+    O(Σ_e deg²) — subgraph keeps the oracle tractable); oracle counts
+    3-paths u→x→y→v per edge, an independent formulation."""
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.sparsification import quadrangle_score
+
+    g = _ps_subgraph(spark, sf_dir)
+    return quadrangle_score(g)
+
+
 def _q_linkpred_ext(spark, sf_dir):
     """Round-out link-prediction indices (TotalNeighbors, U/VDegree,
     AdjustedRand — intended set-difference semantics, see the module
@@ -734,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "graph_linkpred": _q_linkpred,
         "graph_linkpred_ext": _q_linkpred_ext,
+        "graph_local_coverage": _q_local_coverage,
+        "graph_quadrangles": _q_quadrangles,
         "graph_modularity_kind": _q_modularity_kind,
         "graph_hub_dominance": _q_hub_dominance,
         "graph_intra_density": _q_intrapartition_density,
@@ -1211,6 +1244,38 @@ scored AS (
 SELECT u, v, common_neighbors, jaccard, adamic_adar, resource_alloc, pref_attachment, rnk
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC) AS rnk FROM scored)
 WHERE rnk <= 500
+""",
+        "graph_local_coverage": f"""
+WITH {_GRAPH_CTES},
+{_KIND_SQL},
+w2 AS (
+  SELECT u, v, CASE WHEN u = v THEN 2.0 * w ELSE w END AS w2 FROM sym
+),
+per AS (
+  SELECT s.u AS node,
+         SUM(CASE WHEN lu.label = lv.label THEN s.w2 ELSE 0 END) AS inside,
+         SUM(s.w2) AS wdeg
+  FROM w2 s JOIN lab lu ON s.u = lu.node JOIN lab lv ON s.v = lv.node
+  GROUP BY s.u
+)
+SELECT n.node,
+       ROUND(CASE WHEN p.wdeg > 0 THEN p.inside / p.wdeg ELSE 0.0 END, 6) AS score
+FROM nodes n LEFT JOIN per p ON n.node = p.node
+""",
+        "graph_quadrangles": f"""
+WITH edges AS ({_EDGES}),
+{_PS_EDGES_SQL},
+paths AS (
+  SELECT e.u AS src, e.v AS dst, COUNT(*) AS q
+  FROM ps e
+  JOIN pssym s1 ON s1.u = e.u
+  JOIN pssym s2 ON s2.u = s1.v AND s2.v <> e.u
+  JOIN pssym s3 ON s3.u = s2.v AND s3.v = e.v
+  WHERE s1.v <> e.v AND s2.v <> e.v AND s3.u <> e.u
+  GROUP BY e.u, e.v
+)
+SELECT e.u AS src, e.v AS dst, CAST(COALESCE(p.q, 0) AS BIGINT) AS score
+FROM ps e LEFT JOIN paths p ON e.u = p.src AND e.v = p.dst
 """,
         "graph_linkpred_ext": f"""
 WITH {_GRAPH_CTES},

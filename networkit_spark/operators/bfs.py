@@ -123,3 +123,60 @@ def neighborhood_function(graph: EdgeGraph, max_h: int = 8) -> DataFrame:
         reach = nxt
     sym.unpersist()
     return graph.spark.createDataFrame(rows, "h int, reachable_pairs long")
+
+
+def volume(
+    graph: EdgeGraph,
+    r: float,
+    samples: int = 500,
+    seed: int = 42,
+    sources: list | None = None,
+) -> float:
+    """``Volume::volume`` (``cpp/distance/Volume.cpp:40-46``): the mean
+    number of nodes within weighted distance ``r`` of a sampled node
+    (the sampled node itself included, distance 0).  Sampling uses the
+    engine's deterministic hash order (``GraphTools::randomNode``
+    analog); pass ``sources`` to pin the sample (oracle-testable).
+
+    All samples expand together: one (source, node, dist) bounded
+    multi-source relax — the same superstep shape as ``apsp_state``
+    with an r-radius cut, so the cost is O(vol(balls)), not O(n·m)."""
+    from networkit_spark.graph import random_nodes
+
+    if sources is None:
+        sources = random_nodes(graph, k=samples, seed=seed)
+    if not sources:
+        return 0.0
+    spark = graph.spark
+    sym = graph.sym().persist()
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0.0) for s in sources], "src long, dst long, dist double"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for rnd in range(512):
+        hop = sym.select(F.col("src").alias("dst"), F.col("dst").alias("nxt"), "weight")
+        cand = (
+            frontier.join(hop, "dst")
+            .select("src", F.col("nxt").alias("dst"), (F.col("dist") + F.col("weight")).alias("cand"))
+            .where(F.col("cand") <= r)
+            .groupBy("src", "dst")
+            .agg(F.min("cand").alias("cand"))
+        )
+        merged = dist.join(cand, ["src", "dst"], "full_outer").select(
+            "src", "dst",
+            F.least(
+                F.coalesce("dist", F.lit(float("inf"))),
+                F.coalesce("cand", F.lit(float("inf"))),
+            ).alias("dist"),
+            (
+                F.coalesce("cand", F.lit(float("inf")))
+                < F.coalesce("dist", F.lit(float("inf")))
+            ).alias("chg"),
+        ).localCheckpoint(eager=True)
+        frontier = merged.where("chg").select("src", "dst", "dist")
+        dist = merged.select("src", "dst", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    sym.unpersist()
+    total = dist.count()
+    return total / len(sources)

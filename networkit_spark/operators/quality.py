@@ -341,3 +341,91 @@ def evaluation_summary(values: DataFrame, sizes: DataFrame, n: int) -> dict:
         "min": row["vmin"],
         "max": row["vmax"],
     }
+
+
+# ---------------------------------------------------------------------------
+# ClusteringGenerator + LocalPartitionCoverage
+# ---------------------------------------------------------------------------
+
+
+def make_singleton_clustering(graph: EdgeGraph) -> DataFrame:
+    """``ClusteringGenerator::makeSingletonClustering``
+    (``cpp/community/ClusteringGenerator.cpp:14-19``)."""
+    return graph.vertices().select(F.col("id").alias("node"), F.col("id").alias("label"))
+
+
+def make_one_clustering(graph: EdgeGraph) -> DataFrame:
+    """``makeOneClustering`` (``ClusteringGenerator.cpp:21-26``)."""
+    return graph.vertices().select(F.col("id").alias("node"), F.lit(0).alias("label"))
+
+
+def make_random_clustering(graph: EdgeGraph, k: int, seed: int = 42) -> DataFrame:
+    """``makeRandomClustering`` (``ClusteringGenerator.cpp:28-44``) with
+    the engine's deterministic hash-RNG convention instead of a global
+    RNG — same label distribution, reproducible across runs."""
+    return graph.vertices().select(
+        F.col("id").alias("node"),
+        (F.abs(F.xxhash64(F.lit(seed), "id")) % k).alias("label"),
+    )
+
+
+def make_continuous_balanced_clustering(graph: EdgeGraph, k: int) -> DataFrame:
+    """``makeContinuousBalancedClustering`` (``ClusteringGenerator.cpp:
+    46-71``): k blocks of size ⌈n/k⌉/⌊n/k⌋ over the id order.  Node ids
+    need not be dense here: block = ⌊rank·k/n⌋ over the id-ascending
+    rank reproduces the reference's prefix-sum block boundaries."""
+    from networkit_spark.graph import assign_dense_ids
+
+    ranked = assign_dense_ids(
+        graph.vertices().select(F.col("id").alias("key")), "key"
+    ).select(F.col("key").alias("node"), F.col("id").alias("rank"))
+    n = graph.num_nodes()
+    return ranked.select(
+        "node", ((F.col("rank") * k) / F.lit(n)).cast("long").alias("label")
+    )
+
+
+def make_noncontinuous_balanced_clustering(graph: EdgeGraph, k: int) -> DataFrame:
+    """``makeNoncontinuousBalancedClustering`` (``ClusteringGenerator.cpp:
+    73-84``): round-robin over the node iteration order (= id order)."""
+    from networkit_spark.graph import assign_dense_ids
+
+    ranked = assign_dense_ids(
+        graph.vertices().select(F.col("id").alias("key")), "key"
+    ).select(F.col("key").alias("node"), F.col("id").alias("rank"))
+    return ranked.select("node", (F.col("rank") % k).alias("label"))
+
+
+def local_partition_coverage(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
+    """``LocalPartitionCoverage`` (``cpp/centrality/LocalPartitionCoverage
+    .cpp:10-27``): per node, the weight fraction of incident edges that
+    stay inside the node's own cluster, score = Σ_{v∈N(u), P(u)=P(v)}
+    w(u,v) / weightedDegree(u); isolated nodes score 0.  A self-loop
+    contributes 2w to both numerator and denominator (``Graph::
+    weightedDegree`` counts loops twice, and the reference's neighbor
+    iteration visits a loop's endpoint with the doubled weight)."""
+    lu = labels.select(F.col("node").alias("src"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("node").alias("dst"), F.col("label").alias("lv"))
+    sym = graph.sym().withColumn(
+        "w2", F.when(F.col("src") == F.col("dst"), 2.0 * F.col("weight")).otherwise(F.col("weight"))
+    )
+    per = (
+        sym.join(lu, "src")
+        .join(lv, "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.sum(F.when(F.col("lu") == F.col("lv"), F.col("w2")).otherwise(0.0)).alias("inside"),
+            F.sum("w2").alias("wdeg"),
+        )
+        .select(
+            "node",
+            F.when(F.col("wdeg") > 0, F.col("inside") / F.col("wdeg"))
+            .otherwise(0.0)
+            .alias("score"),
+        )
+    )
+    return (
+        graph.vertices()
+        .join(per, F.col("id") == F.col("node"), "left")
+        .select(F.col("id").alias("node"), F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

@@ -536,3 +536,50 @@ def prefix_jaccard_score(graph: EdgeGraph, attribute: DataFrame) -> DataFrame:
     return e.join(best, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
     )
+
+
+def quadrangle_score(graph: EdgeGraph) -> DataFrame:
+    """ChibaNishizekiQuadrangleEdgeScore (``cpp/edgescores/
+    ChibaNishizekiQuadrangleEdgeScore.cpp:14-100``): per edge, the
+    number of quadrangles (4-cycles, chords allowed) containing it.
+    The reference pivots on each node and adds ``marker[w] − 1`` per
+    2-path; net effect: each 4-cycle adds 1 to each of its 4 edges.
+
+    Spark shape: W(a, b) = common-neighbor counts for every distance-2
+    pair (ONE wedge join — the same pass the link-prediction indices
+    ride).  For edge (u, v), each cycle u–v–y–x has exactly one corner
+    y ∈ N(v)∖{u}, and x ranges over (N(u) ∩ N(y))∖{v}, so
+    score(u, v) = Σ_{y ∈ N(v)∖{u}} (W(u, y) − 1) — equivalently the
+    number of 3-paths u→x→y→v with x ≠ v, y ≠ u, which is symmetric in
+    the edge's orientation, so ONE orientation suffices.  W(u, y) ≥ 1
+    is guaranteed (v is always a common neighbor)."""
+    e = graph.edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # W: common-neighbor counts for unordered pairs a < b (distance-2,
+    # adjacency irrelevant)
+    a = sym.select(F.col("dst").alias("z"), F.col("src").alias("a"))
+    b = sym.select(F.col("dst").alias("z"), F.col("src").alias("b"))
+    w_tab = (
+        a.join(b, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    # y ∈ N(dst)\{src} for every canonical edge
+    uy = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(sym.select(F.col("src").alias("v"), F.col("dst").alias("y")), "v")
+        .where(F.col("y") != F.col("u"))
+        .select(
+            "u", "v",
+            F.least("u", "y").alias("a"), F.greatest("u", "y").alias("b"),
+        )
+    )
+    quads = (
+        uy.join(w_tab, ["a", "b"])
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .agg(F.sum(F.col("cw") - 1).alias("q"))
+    )
+    return e.join(quads, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("q", F.lit(0)).cast("long").alias("score")
+    )

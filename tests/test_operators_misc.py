@@ -402,3 +402,79 @@ def test_linkpred_roundout_indices(spark):
     ).collect()[0]
     # N(0)={1,2}, N(3)={2}: a==b for (2,2) → 1; edges (1,2) → 1 → total 2
     assert nm2["neighbors_measure"] == 2
+
+
+def test_quadrangle_score(spark):
+    from networkit_spark.operators.sparsification import quadrangle_score
+
+    # square 0-1-3-2: every edge lies on the one 4-cycle
+    sq = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 3), (3, 2), (2, 0)]))
+    qs = {(r["src"], r["dst"]): r["score"] for r in quadrangle_score(sq).collect()}
+    assert qs == {(0, 1): 1, (1, 3): 1, (2, 3): 1, (0, 2): 1}
+
+    # chords allowed: adding diagonal (0,3) keeps the cycle; the chord
+    # itself lies on no 4-cycle
+    sqd = EdgeGraph.from_edges(
+        edges_df(spark, [(0, 1), (1, 3), (3, 2), (2, 0), (0, 3)])
+    )
+    qs = {(r["src"], r["dst"]): r["score"] for r in quadrangle_score(sqd).collect()}
+    assert qs[(0, 3)] == 0 and qs[(0, 1)] == 1
+
+    # K4: three 4-cycles, each edge on exactly two of them
+    k4 = EdgeGraph.from_edges(
+        edges_df(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    )
+    qs = {(r["src"], r["dst"]): r["score"] for r in quadrangle_score(k4).collect()}
+    assert set(qs.values()) == {2} and len(qs) == 6
+
+
+def test_clustering_generators_and_local_coverage(spark):
+    from networkit_spark.operators.quality import (
+        local_partition_coverage,
+        make_continuous_balanced_clustering,
+        make_noncontinuous_balanced_clustering,
+        make_one_clustering,
+        make_random_clustering,
+        make_singleton_clustering,
+    )
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(i, i + 1) for i in range(9)]))
+    n = 10
+    single = make_singleton_clustering(g).collect()
+    assert len({r["label"] for r in single}) == n
+    one = make_one_clustering(g).collect()
+    assert {r["label"] for r in one} == {0}
+    rnd = make_random_clustering(g, k=3).collect()
+    assert {r["label"] for r in rnd} <= {0, 1, 2}
+    # deterministic across calls
+    assert rnd == make_random_clustering(g, k=3).collect()
+    cont = {r["node"]: r["label"] for r in make_continuous_balanced_clustering(g, 3).collect()}
+    # blocks are contiguous in id order and balanced (sizes 4/3/3)
+    assert [cont[i] for i in range(10)] == sorted(cont[i] for i in range(10))
+    from collections import Counter
+    assert sorted(Counter(cont.values()).values()) == [3, 3, 4]
+    nc = {r["node"]: r["label"] for r in make_noncontinuous_balanced_clustering(g, 3).collect()}
+    assert [nc[i] for i in range(6)] == [0, 1, 2, 0, 1, 2]
+
+    # local partition coverage on a path with blocks {0,1,2},{3,4,5},...
+    part = spark.createDataFrame(
+        [(i, i // 3) for i in range(10)], "node long, label long"
+    )
+    lpc = {r["node"]: r["score"] for r in local_partition_coverage(g, part).collect()}
+    assert lpc[1] == 1.0          # both neighbors in block 0
+    assert lpc[2] == 0.5          # neighbor 1 inside, neighbor 3 outside
+    assert lpc[0] == 1.0          # single neighbor inside
+    assert lpc[3] == 0.5
+
+
+def test_volume_sampled_balls(spark):
+    from networkit_spark.operators.bfs import volume
+
+    # weighted path 0 -1- 1 -1- 2 -1- 3: ball(0, r=2) = {0,1,2}
+    g = EdgeGraph.from_edges(edges_df(spark, [(i, i + 1, 1.0) for i in range(5)]))
+    assert volume(g, r=2.0, sources=[0]) == 3.0
+    # mean over two pinned sources: ball(0)=3, ball(2)={0..4}=5
+    assert volume(g, r=2.0, sources=[0, 2]) == 4.0
+    # heavier edge blocks the ball
+    g2 = EdgeGraph.from_edges(edges_df(spark, [(0, 1, 1.0), (1, 2, 5.0)]))
+    assert volume(g2, r=2.0, sources=[0]) == 2.0
