@@ -253,3 +253,65 @@ def commute_time_distance(
     )
     sym.unpersist()
     return diff
+
+
+def jaccard_distance(graph: EdgeGraph) -> DataFrame:
+    """``JaccardDistance`` (``cpp/distance/JaccardDistance.h:18-23``):
+    per EDGE, 1 − neighborhood-Jaccard similarity."""
+    from networkit_spark.operators.sparsification import jaccard_score
+
+    return jaccard_score(graph).select(
+        "src", "dst", (1.0 - F.col("score")).alias("distance")
+    )
+
+
+def adamic_adar_distance(graph: EdgeGraph) -> DataFrame:
+    """``AdamicAdarDistance`` (``cpp/distance/AdamicAdarDistance.cpp:
+    22-58``): per EDGE (u, v), 1 / Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) —
+    infinity (the reference's 1/0) becomes NULL here; filter or
+    ``fillna`` by taste.  One wedge join, AA-weighted."""
+    e = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    a = sym.select(F.col("dst").alias("z"), F.col("src").alias("u"))
+    b = sym.select(F.col("dst").alias("z"), F.col("src").alias("v"))
+    wed = (
+        a.join(b, "z")
+        .where(F.col("u") < F.col("v"))
+        .join(deg.withColumnRenamed("node", "z").withColumnRenamed("deg", "zdeg"), "z")
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .agg(F.sum(1.0 / F.log("zdeg")).alias("aa"))
+    )
+    return e.join(wed, ["src", "dst"], "left").select(
+        "src", "dst", (1.0 / F.col("aa")).alias("distance")
+    )
+
+
+def graph_distance(graph: EdgeGraph, u: int, v: int, weighted: bool = False) -> float:
+    """``GraphDistance::weightedDistance/unweightedDistance``
+    (``cpp/distance/GraphDistance.h``): one shortest-path distance;
+    ``inf`` when unreachable."""
+    from networkit_spark.operators.bfs import bfs, sssp
+
+    d = sssp(graph, u) if weighted else bfs(graph, u)
+    row = d.where(F.col("node") == v).collect()
+    return float(row[0]["dist"]) if row else float("inf")
+
+
+def hop_plot(graph: EdgeGraph, max_h: int = 8) -> DataFrame:
+    """``HopPlotApproximation`` surface (``cpp/distance/
+    HopPlotApproximation.h:20-52``): (h, fraction) — the fraction of
+    connected node pairs reachable within h hops.  Exact small-scale
+    form over ``neighborhood_function``; at 100 TB the HyperANF
+    register path (``operators/anf``) produces the same curve
+    approximately."""
+    from networkit_spark.operators.bfs import neighborhood_function
+
+    nf = neighborhood_function(graph, max_h=max_h)
+    n = graph.num_nodes()
+    denom = float(n) * n
+    return nf.select("h", (F.col("reachable_pairs") / F.lit(denom)).alias("fraction"))

@@ -91,3 +91,26 @@ def test_commute_time_distance_vs_pinv(spark):
         reff = Lp[u, u] - 2 * Lp[u, v] + Lp[v, v]
         want = np.sqrt(reff * vol)
         assert got[(u, v)] == pytest.approx(want, rel=1e-6), (u, v)
+
+
+def test_distance_family_wrappers(spark):
+    from networkit_spark.operators.node_distance import (
+        adamic_adar_distance,
+        graph_distance,
+        hop_plot,
+        jaccard_distance,
+    )
+    import math
+
+    # K3 + pendant (2-3): edge (0,1) has common neighbor 2 (deg 3)
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)]))
+    jd = {(r["src"], r["dst"]): r["distance"] for r in jaccard_distance(g).collect()}
+    assert abs(jd[(0, 1)] - (1.0 - 1.0 / 3.0)) < 1e-12
+    aad = {(r["src"], r["dst"]): r["distance"] for r in adamic_adar_distance(g).collect()}
+    assert abs(aad[(0, 1)] - math.log(3)) < 1e-12  # 1 / (1/ln 3)
+    assert aad[(2, 3)] is None  # no common neighbor → reference's 1/0
+    assert graph_distance(g, 0, 3) == 2.0
+    assert graph_distance(g, 0, 3, weighted=True) == 2.0
+    hp = {r["h"]: r["fraction"] for r in hop_plot(g, max_h=4).collect()}
+    assert abs(hp[0] - 4.0 / 16.0) < 1e-12
+    assert abs(hp[2] - 1.0) < 1e-12  # diameter 2: everything reached
