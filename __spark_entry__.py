@@ -302,6 +302,18 @@ def _q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), k=5)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN with exhaustive probing (nprobe = n_centroids): the full
+    pipeline — deterministic centroid training, cell partitioning,
+    probe join, exact re-rank — must reproduce brute-force cosine
+    top-k, which IS ANSI-SQL: an oracle-green exactness gate for the
+    IVF machinery (the approximate-recall path is pytest-asserted)."""
+    out = similarity.ivf_topk(
+        _emb(spark, sf_dir), k=5, n_centroids=16, nprobe=16, lloyd_iters=1
+    )
+    return out.where(F.col("query_id") < 20)
+
+
 def _q_near_dups_lsh(spark, sf_dir):
     """The 100 TB near-dup path: LSH-bucketed candidates → exact cosine
     verify (no crossJoin).  Rows-only check; LSH ≡ exact at high
@@ -762,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": _q_near_dups,
         "emb_near_dups_lsh": _q_near_dups_lsh,
         "emb_lsh_topk": _q_lsh_topk,
+        "emb_ivf_topk": _q_ivf_topk,
         "events_hourly": _q_events_hourly,
         "graph_linkpred": _q_linkpred,
         "graph_linkpred_ext": _q_linkpred_ext,
@@ -1192,6 +1205,20 @@ SELECT doc_id,
 FROM sums GROUP BY doc_id
 """,
         "emb_cosine_topk": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 20),
+sims AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.emb, v.emb), 6) AS sim
+  FROM q CROSS JOIN v WHERE q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+""",
+        "emb_ivf_topk": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT * FROM v WHERE vec_id < 20),
 sims AS (

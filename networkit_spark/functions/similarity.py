@@ -235,3 +235,143 @@ def embedding_near_dup_pairs(
         "id_b",
         F.round(_dot(F.col("avec"), F.col("bvec")) / (F.col("anorm") * F.col("bnorm")), 6).alias("sim"),
     ).where(F.col("sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    lloyd_iters: int = 2,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: seed centroids = the
+    ``n_centroids`` vectors first in md5(id) order (a distributed
+    TakeOrdered — no RNG state), then ``lloyd_iters`` k-means rounds
+    with the ASSIGN step distributed (one Arrow matmul per batch,
+    centroid matrix broadcast) and the UPDATE step a groupBy mean.
+    Centroid count is a driver-sized object by design (√N at scale)."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.lit(f"ivf:{seed}:"), F.col(id_col).cast("string"))))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    for _ in range(lloyd_iters):
+        assigned = _ivf_assign(emb, C, 1, id_col, vec_col).select(
+            F.col("cell"), F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        newC = C.copy()
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, comps in by_cell.items():
+            vec = np.array([comps[i] for i in range(C.shape[1])])
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                newC[cell] = vec / nrm
+        C = newC
+    return C
+
+
+def _ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, nprobe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cell, probe) — each vector's ``nprobe`` nearest
+    centroids by cosine; probe 0 is the home cell."""
+    import pyspark.sql.types as T
+
+    C = centroids
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = (M / nrm) @ C.T  # (n, n_centroids)
+            order = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(nprobe)],
+                    "cell": order.reshape(-1).astype(np.int32),
+                    "probe": np.tile(np.arange(nprobe, dtype=np.int32), n),
+                }
+            )
+
+    elem = T.FloatType() if "float" in emb.schema[vec_col].dataType.simpleString() else T.DoubleType()
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(elem)),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("probe", T.IntegerType()),
+        ]
+    )
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank) — IVF approximate top-k: the
+    corpus is partitioned into ``n_centroids`` coarse cells (home cell
+    only), each query probes its ``nprobe`` nearest cells, candidates
+    get an exact cosine re-rank.  The 100-TB shape: the cell id is a
+    partition key — the candidate join shuffles each query to nprobe
+    cells instead of the full corpus, and ``n_centroids ~ √N`` keeps
+    cells executor-sized.  Complements ``lsh_topk`` (hash buckets):
+    IVF adapts to the data's density at the cost of the small
+    centroid-training pass."""
+    C = _ivf_centroids(emb, n_centroids, id_col, vec_col, lloyd_iters, seed)
+    home = _ivf_assign(emb, C, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nnorm"),
+        "cell",
+    )
+    probes = _ivf_assign(emb, C, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+        "cell",
+    )
+    sims = (
+        probes.join(home, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")), 6
+            ).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -154,3 +154,24 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == 8 * 4  # 256-byte blobs / 64-byte windows
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", fake=False)
+
+
+def test_ivf_topk_recall(spark, emb):
+    exact = similarity.cosine_topk(emb, k=3)
+    approx = similarity.ivf_topk(emb, k=3, n_centroids=6, nprobe=3)
+    e1 = {(r["query_id"], r["neighbor_id"]) for r in exact.where("rank = 1").collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e1 & a) / len(e1)
+    assert recall >= 0.6  # probing half the cells recalls most top-1s
+    assert (0, 1) in a and (1, 0) in a  # engineered near-dup found
+    # nprobe = n_centroids degenerates to exact brute force
+    full = similarity.ivf_topk(emb, k=3, n_centroids=6, nprobe=6)
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    ex = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    assert f == ex
+    # determinism
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, k=3, n_centroids=6, nprobe=3).collect()
+    }
+    assert again == a
