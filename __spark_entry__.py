@@ -293,6 +293,10 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_near_dups(spark, sf_dir):
+    """Exact O(N²) crossJoin near-dups — the sf0.01-only ORACLE ANCHOR
+    for the LSH twin below; the 100-TB path is `emb_near_dups_lsh`
+    (bucketed candidates + exact verify).  Deliberately kept out of
+    BENCH."""
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 

@@ -442,3 +442,44 @@ def rmat(
     e = edges.select(src.alias("src"), dst.alias("dst"), F.lit(1.0).alias("weight"))
     e = e.where(F.col("src") != F.col("dst"))
     return EdgeGraph(canonicalize(e, weighted_dedup="first"), directed=False, weighted=False)
+
+
+def dynamic_dorogovtsev_mendes_events(spark, steps: int, seed: int = 42):
+    """``DynamicDorogovtsevMendesGenerator`` (``cpp/generators/
+    DynamicDorogovtsevMendesGenerator.cpp:16-56``): start from a
+    triangle; each TIME_STEP adds one node connected to BOTH endpoints
+    of a uniformly chosen existing edge.  Returns the GraphEvent table
+    ``(batch, kind, u, v, w)`` the streaming layer consumes
+    (``apply_events`` / ``incremental_*``); batch = time step.
+
+    The process is sequential BY DEFINITION (each step samples from the
+    realized edge list), but the edge COUNT after step i is the closed
+    form 3 + 2i, so the whole stream derives from a deterministic
+    hash recurrence — driver-side numpy, metadata-scale: event streams
+    are inputs to the distributed Dyn* consumers, not bulk data."""
+    import hashlib
+
+    rows = [
+        (0, "NODE_ADDITION", 0, None, None),
+        (0, "NODE_ADDITION", 1, None, None),
+        (0, "NODE_ADDITION", 2, None, None),
+        (0, "EDGE_ADDITION", 0, 1, 1.0),
+        (0, "EDGE_ADDITION", 1, 2, 1.0),
+        (0, "EDGE_ADDITION", 2, 0, 1.0),
+        (0, "TIME_STEP", None, None, None),
+    ]
+    edges = [(0, 1), (1, 2), (2, 0)]
+    node = 2
+    for i in range(1, steps + 1):
+        node += 1
+        r = int(hashlib.md5(f"{seed}:dm:{i}".encode()).hexdigest()[:12], 16) % len(edges)
+        s, t = edges[r]
+        rows.append((i, "NODE_ADDITION", node, None, None))
+        rows.append((i, "EDGE_ADDITION", node, s, 1.0))
+        rows.append((i, "EDGE_ADDITION", node, t, 1.0))
+        rows.append((i, "TIME_STEP", None, None, None))
+        edges.append((s, node))
+        edges.append((t, node))
+    return spark.createDataFrame(
+        rows, "batch long, kind string, u long, v long, w double"
+    )

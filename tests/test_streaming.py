@@ -132,3 +132,40 @@ def test_incremental_katz_matches_cold(spark):
     w = {r["node"]: r["score"] for r in warm.collect()}
     c = {r["node"]: r["score"] for r in cold.collect()}
     assert all(abs(w[i] - c[i]) < 1e-6 for i in range(4))
+
+
+def test_dynamic_dorogovtsev_mendes_stream(spark):
+    """The DM event stream drives the streaming layer: applying all
+    batches yields the closed-form counts (n = 3+steps, m = 3+2·steps),
+    every post-initial node arrives with degree 2, and the stream is
+    deterministic at a fixed seed."""
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.generators import (
+        dynamic_dorogovtsev_mendes_events,
+    )
+    from networkit_spark.streaming.events import apply_events
+
+    steps = 30
+    ev = dynamic_dorogovtsev_mendes_events(spark, steps=steps, seed=42)
+    empty = EdgeGraph(
+        spark.createDataFrame([], "src long, dst long, weight double"),
+        directed=False,
+        weighted=False,
+    )
+    g = apply_events(empty, ev)
+    assert g.num_nodes() == 3 + steps
+    assert g.num_edges() == 3 + 2 * steps
+    # triangle-growth invariant: the graph stays connected
+    from networkit_spark.operators.components import connected_components
+
+    labels = connected_components(g)
+    assert labels.select("label").distinct().count() == 1
+    # determinism
+    again = dynamic_dorogovtsev_mendes_events(spark, steps=steps, seed=42)
+    assert ev.collect() == again.collect()
+    # incremental consumption batch-by-batch matches the full apply
+    half = apply_events(empty, ev.where(F.col("batch") <= steps // 2))
+    rest = apply_events(half, ev.where(F.col("batch") > steps // 2))
+    a = sorted(map(tuple, rest.edges.collect()))
+    b = sorted(map(tuple, g.edges.collect()))
+    assert a == b
