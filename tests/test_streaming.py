@@ -169,3 +169,27 @@ def test_dynamic_dorogovtsev_mendes_stream(spark):
     a = sorted(map(tuple, rest.edges.collect()))
     b = sorted(map(tuple, g.edges.collect()))
     assert a == b
+
+
+def test_epidemic_seir_wave(spark):
+    """Deterministic SEIR wave on the path 0-1-2-3 with trans_p = 1:
+    hand-traced census at every step (synchronous-sweep semantics)."""
+    from networkit_spark.streaming.simulation import epidemic_simulation_seir
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (2, 3)]))
+    out = epidemic_simulation_seir(
+        g, t_max=8, trans_p=1.0, e_time=1, i_time=2, zero=0
+    ).collect()
+    census = {(r["t"], r["state"]): r["count"] for r in out}
+    n = 4
+    for t in range(8):
+        assert sum(census[(t, s)] for s in range(4)) == n
+    # t=0: zero infectious, neighbor 1 exposed
+    assert census[(0, 2)] == 1 and census[(0, 1)] == 1 and census[(0, 0)] == 2
+    # t=2: zero removed, wavefront at node 1 (I), node 2 exposed
+    assert census[(2, 3)] == 1 and census[(2, 2)] == 1 and census[(2, 1)] == 1
+    # t=7: everyone removed
+    assert census[(7, 3)] == n
+    # removed count never decreases
+    for t in range(1, 8):
+        assert census[(t, 3)] >= census[(t - 1, 3)]
