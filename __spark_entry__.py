@@ -346,6 +346,25 @@ def _q_linkpred(spark, sf_dir):
     return _topk_ranked(s, 500, [F.desc("jaccard"), F.asc("u"), F.asc("v")])
 
 
+def _q_sfigality(spark, sf_dir):
+    """Sfigality (§2.8): fraction of strictly-higher-degree neighbors."""
+    from networkit_spark.operators.degrees import sfigality
+
+    g = tpch_link_graph(spark, sf_dir)
+    return sfigality(g).select("node", F.round("score", 6).alias("score"))
+
+
+def _q_laplacian(spark, sf_dir):
+    """LaplacianCentrality (§2.8): normalized Laplacian-energy drop per
+    node — the reference's local formula, joins + aggs only."""
+    from networkit_spark.operators.degrees import laplacian_centrality
+
+    g = tpch_link_graph(spark, sf_dir)
+    return laplacian_centrality(g).select(
+        "node", F.round(F.col("score") * 1e6, 6).alias("score_ppm")
+    )
+
+
 def _q_local_coverage(spark, sf_dir):
     """LocalPartitionCoverage (§2.8) against the customer/part/supplier
     kind partition — per-node inside-cluster weight fraction."""
@@ -784,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred_ext": _q_linkpred_ext,
         "graph_local_coverage": _q_local_coverage,
         "graph_quadrangles": _q_quadrangles,
+        "graph_sfigality": _q_sfigality,
+        "graph_laplacian": _q_laplacian,
         "graph_modularity_kind": _q_modularity_kind,
         "graph_hub_dominance": _q_hub_dominance,
         "graph_intra_density": _q_intrapartition_density,
@@ -1275,6 +1296,40 @@ scored AS (
 SELECT u, v, common_neighbors, jaccard, adamic_adar, resource_alloc, pref_attachment, rnk
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC) AS rnk FROM scored)
 WHERE rnk <= 500
+""",
+        "graph_sfigality": f"""
+WITH {_GRAPH_CTES},
+ssym AS (SELECT u, v FROM sym WHERE u <> v),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM ssym GROUP BY u),
+per AS (
+  SELECT s.u AS node,
+         SUM(CASE WHEN du.deg < dv.deg THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS score
+  FROM ssym s JOIN deg du ON s.u = du.node JOIN deg dv ON s.v = dv.node
+  GROUP BY s.u
+)
+SELECT n.node, ROUND(COALESCE(p.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN per p ON n.node = p.node
+""",
+        "graph_laplacian": f"""
+WITH {_GRAPH_CTES},
+ssym AS (SELECT u, v, w FROM sym WHERE u <> v),
+wdeg AS (SELECT u AS node, SUM(w) AS wdeg FROM ssym GROUP BY u),
+nbr AS (
+  SELECT s.u AS node,
+         SUM(s.w * (s.w + 2.0 * dv.wdeg)) AS nsum,
+         SUM(s.w * s.w) AS w2
+  FROM ssym s JOIN wdeg dv ON s.v = dv.node
+  GROUP BY s.u
+),
+per AS (
+  SELECT d.node, d.wdeg * d.wdeg + COALESCE(n.nsum, 0.0) AS energy,
+         d.wdeg * d.wdeg AS d2, COALESCE(n.w2, 0.0) AS w2
+  FROM wdeg d LEFT JOIN nbr n ON d.node = n.node
+),
+tot AS (SELECT SUM(d2 + w2) AS te FROM per)
+SELECT n.node,
+       ROUND(COALESCE(p.energy, 0.0) / tot.te * 1e6, 6) AS score_ppm
+FROM nodes n LEFT JOIN per p ON n.node = p.node CROSS JOIN tot
 """,
         "graph_local_coverage": f"""
 WITH {_GRAPH_CTES},

@@ -45,3 +45,65 @@ def assortativity(graph: EdgeGraph) -> float:
         .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "ddeg"), "dst")
     )
     return pairs.agg(F.corr("sdeg", "ddeg")).collect()[0][0]
+
+
+def sfigality(graph: EdgeGraph) -> DataFrame:
+    """``Sfigality`` (``cpp/centrality/Sfigality.cpp:16-30``): per node,
+    the fraction of neighbors with STRICTLY higher degree.  One degree
+    self-join over the gather view."""
+    deg = graph.degrees().select("node", "deg")
+    sym = graph.sym().where(F.col("src") != F.col("dst")).select("src", "dst")
+    per = (
+        sym.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("du")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dv")), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            (
+                F.sum(F.when(F.col("du") < F.col("dv"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("score")
+        )
+    )
+    return (
+        graph.vertices()
+        .join(per, F.col("id") == F.col("node"), "left")
+        .select(F.col("id").alias("node"), F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
+def laplacian_centrality(graph: EdgeGraph, normalized: bool = True) -> DataFrame:
+    """``LaplacianCentrality`` (``cpp/centrality/LaplacianCentrality.cpp:
+    14-45``): the Laplacian-energy drop when the node is removed,
+    score(u) = wdeg(u)² + Σ_{v∈N(u)} w·(w + 2·wdeg(v)); normalized by
+    the total energy Σ wdeg² + Σ_sym w².  Two joins + aggs, no spectral
+    solve — the reference's own local formula."""
+    sym = graph.sym().where(F.col("src") != F.col("dst"))
+    wdeg = sym.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg"))
+    nbr = (
+        sym.join(
+            wdeg.select(F.col("node").alias("dst"), F.col("wdeg").alias("wv")), "dst"
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.sum(F.col("weight") * (F.col("weight") + 2.0 * F.col("wv"))).alias("nsum"),
+            F.sum(F.col("weight") * F.col("weight")).alias("w2"),
+        )
+    )
+    per = wdeg.join(nbr, "node", "left").select(
+        "node",
+        (F.col("wdeg") * F.col("wdeg") + F.coalesce("nsum", F.lit(0.0))).alias("energy"),
+        F.coalesce("w2", F.lit(0.0)).alias("w2"),
+        (F.col("wdeg") * F.col("wdeg")).alias("d2"),
+    )
+    out = graph.vertices().join(
+        per, F.col("id") == F.col("node"), "left"
+    ).select(
+        F.col("id").alias("node"),
+        F.coalesce("energy", F.lit(0.0)).alias("score"),
+        F.coalesce("w2", F.lit(0.0)).alias("w2"),
+        F.coalesce("d2", F.lit(0.0)).alias("d2"),
+    )
+    if not normalized:
+        return out.select("node", "score")
+    total = out.agg(F.sum(F.col("d2") + F.col("w2"))).collect()[0][0] or 1.0
+    return out.select("node", (F.col("score") / total).alias("score"))

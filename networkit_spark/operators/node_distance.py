@@ -315,3 +315,25 @@ def hop_plot(graph: EdgeGraph, max_h: int = 8) -> DataFrame:
     n = graph.num_nodes()
     denom = float(n) * n
     return nf.select("h", (F.col("reachable_pairs") / F.lit(denom)).alias("fraction"))
+
+
+def spanning_edge_centrality(
+    graph: EdgeGraph, edges: DataFrame | None = None, tol: float = 1e-9
+) -> DataFrame:
+    """``SpanningEdgeCentrality`` (``cpp/centrality/SpanningEdgeCentrality
+    .cpp:33-56``): per edge, its effective resistance — the fraction of
+    spanning trees containing it.  Rides ``commute_time_distance``
+    (R = ectd² / vol); pass ``edges`` to score a subset (all canonical
+    edges by default — every pair's CG solve runs simultaneously, so use
+    a sample at scale like the reference's JL-projection variant)."""
+    e = (edges or graph.edges).where(F.col("src") != F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    sym = graph.sym().where(F.col("src") != F.col("dst"))
+    vol = sym.agg(F.sum("weight")).collect()[0][0] or 1.0
+    ectd = commute_time_distance(graph, e, tol=tol)
+    return ectd.select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        ((F.col("ectd") * F.col("ectd")) / vol).alias("score"),
+    )

@@ -478,3 +478,46 @@ def test_volume_sampled_balls(spark):
     # heavier edge blocks the ball
     g2 = EdgeGraph.from_edges(edges_df(spark, [(0, 1, 1.0), (1, 2, 5.0)]))
     assert volume(g2, r=2.0, sources=[0]) == 2.0
+
+
+def test_sfigality_and_laplacian(spark):
+    from networkit_spark.operators.degrees import laplacian_centrality, sfigality
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (2, 3)]))
+    sf = {r["node"]: r["score"] for r in sfigality(g).collect()}
+    assert sf == {0: 1.0, 1: 0.0, 2: 0.0, 3: 1.0}
+
+    # numpy oracle: score(u) = E(L) − E(L − u), E = sum of squared
+    # eigenvalues = trace(L²)
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 3.0)]
+    gw = EdgeGraph.from_edges(edges_df(spark, edges))
+    got = {r["node"]: r["score"] for r in laplacian_centrality(gw, normalized=False).collect()}
+
+    def lap_energy(drop=None):
+        n = 4
+        L = np.zeros((n, n))
+        for u, v, w in edges:
+            if drop is not None and drop in (u, v):
+                continue
+            L[u, v] -= w
+            L[v, u] -= w
+            L[u, u] += w
+            L[v, v] += w
+        return np.trace(L @ L)
+
+    for u in range(4):
+        assert abs(got[u] - (lap_energy() - lap_energy(drop=u))) < 1e-9
+    norm = {r["node"]: r["score"] for r in laplacian_centrality(gw).collect()}
+    assert abs(sum(norm.values()) * lap_energy() - sum(got.values())) < 1e-6
+
+
+def test_spanning_edge_centrality(spark):
+    from networkit_spark.operators.node_distance import spanning_edge_centrality
+
+    # triangle + pendant bridge: bridge is in EVERY spanning tree
+    # (score 1); each triangle edge is in 2 of 3 (score 2/3)
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)]))
+    sec = {(r["src"], r["dst"]): r["score"] for r in spanning_edge_centrality(g).collect()}
+    assert abs(sec[(2, 3)] - 1.0) < 1e-6
+    for e in [(0, 1), (1, 2), (0, 2)]:
+        assert abs(sec[e] - 2.0 / 3.0) < 1e-6
