@@ -346,6 +346,21 @@ def _q_linkpred(spark, sf_dir):
     return _topk_ranked(s, 500, [F.desc("jaccard"), F.asc("u"), F.asc("v")])
 
 
+def _q_permanence(spark, sf_dir):
+    """PermanenceCentrality (§2.8) against a node%5 partition (the kind
+    partition is degenerate here: the tripartite graph has no intra-kind
+    edges, so every score would be −1)."""
+    from networkit_spark.operators.quality import permanence_centrality
+
+    g = tpch_link_graph(spark, sf_dir)
+    part = g.vertices().select(
+        F.col("id").alias("node"), (F.col("id") % 5).alias("label")
+    )
+    return permanence_centrality(g, part).select(
+        "node", F.round("score", 6).alias("score")
+    )
+
+
 def _q_sfigality(spark, sf_dir):
     """Sfigality (§2.8): fraction of strictly-higher-degree neighbors."""
     from networkit_spark.operators.degrees import sfigality
@@ -805,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_quadrangles": _q_quadrangles,
         "graph_sfigality": _q_sfigality,
         "graph_laplacian": _q_laplacian,
+        "graph_permanence": _q_permanence,
         "graph_modularity_kind": _q_modularity_kind,
         "graph_hub_dominance": _q_hub_dominance,
         "graph_intra_density": _q_intrapartition_density,
@@ -1296,6 +1312,42 @@ scored AS (
 SELECT u, v, common_neighbors, jaccard, adamic_adar, resource_alloc, pref_attachment, rnk
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC) AS rnk FROM scored)
 WHERE rnk <= 500
+""",
+        "graph_permanence": f"""
+WITH {_GRAPH_CTES},
+ssym AS (SELECT u, v FROM sym WHERE u <> v),
+plab AS (SELECT node, node % 5 AS label FROM nodes),
+ann AS (
+  SELECT s.u, s.v, lu.label AS cu, lv.label AS cv
+  FROM ssym s JOIN plab lu ON s.u = lu.node JOIN plab lv ON s.v = lv.node
+),
+strength AS (
+  SELECT u, cu, cv, COUNT(*) AS s FROM ann GROUP BY u, cu, cv
+),
+per AS (
+  SELECT u AS node,
+         SUM(CASE WHEN cu = cv THEN s ELSE 0 END) AS i_cnt,
+         MAX(CASE WHEN cu <> cv THEN s ELSE 0 END) AS emax,
+         SUM(s) AS deg
+  FROM strength GROUP BY u
+),
+internal AS (SELECT u, v AS y FROM ann WHERE cu = cv),
+tri AS (
+  SELECT a.u AS node, COUNT(*) AS tri
+  FROM internal a JOIN internal b ON a.u = b.u AND a.y < b.y
+  WHERE EXISTS (SELECT 1 FROM ssym e WHERE e.u = a.y AND e.v = b.y)
+  GROUP BY a.u
+)
+SELECT n.node,
+       ROUND(COALESCE(
+         p.i_cnt * 1.0 / GREATEST(p.emax, 1) / p.deg
+         - (1.0 - CASE WHEN p.i_cnt >= 2
+                       THEN COALESCE(t.tri, 0) / (0.5 * p.i_cnt * (p.i_cnt - 1))
+                       ELSE 0.0 END),
+         0.0), 6) AS score
+FROM nodes n
+LEFT JOIN per p ON n.node = p.node
+LEFT JOIN tri t ON n.node = t.node
 """,
         "graph_sfigality": f"""
 WITH {_GRAPH_CTES},

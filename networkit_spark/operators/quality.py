@@ -429,3 +429,64 @@ def local_partition_coverage(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
         .join(per, F.col("id") == F.col("node"), "left")
         .select(F.col("id").alias("node"), F.coalesce("score", F.lit(0.0)).alias("score"))
     )
+
+
+def permanence_centrality(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
+    """``PermanenceCentrality`` (``cpp/centrality/PermanenceCentrality
+    .cpp:110-175``): per node u with community C,
+    perm(u) = I(u) / E_max(u) / deg(u) − (1 − c_in(u)) where I = number
+    of same-community neighbors, E_max = the largest neighbor count in
+    any single OTHER community (1 when there are no external neighbors,
+    per the paper), and c_in = clustering coefficient among the
+    internal neighbors (0 when I < 2).
+
+    Spark shape: one labeled gather for the strengths, one
+    internal-restricted wedge join + edge semi-join for the internal
+    triangles — the LCC shape confined to intra-community adjacency."""
+    ssym = graph.sym().where(F.col("src") != F.col("dst")).select("src", "dst")
+    lu = labels.select(F.col("node").alias("src"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("node").alias("dst"), F.col("label").alias("cv"))
+    ann = ssym.join(lu, "src").join(lv, "dst")
+    strength = ann.groupBy("src", "cu", "cv").agg(F.count(F.lit(1)).alias("s"))
+    per = strength.groupBy(F.col("src").alias("node")).agg(
+        F.sum(F.when(F.col("cu") == F.col("cv"), F.col("s")).otherwise(0)).alias("i_cnt"),
+        F.max(F.when(F.col("cu") != F.col("cv"), F.col("s")).otherwise(0)).alias("emax"),
+        F.sum("s").alias("deg"),
+    )
+    # internal triangles: pairs of internal neighbors that are adjacent
+    internal = ann.where(F.col("cu") == F.col("cv")).select("src", F.col("dst").alias("y"))
+    pairs = (
+        internal.join(internal.withColumnRenamed("y", "z"), "src")
+        .where(F.col("y") < F.col("z"))
+        .join(
+            ssym.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+            ["y", "z"],
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    out = (
+        per.join(pairs, "node", "left")
+        .select(
+            "node",
+            (
+                F.col("i_cnt")
+                / F.greatest(F.col("emax"), F.lit(1))
+                / F.col("deg")
+                - (
+                    1.0
+                    - F.when(
+                        F.col("i_cnt") >= 2,
+                        F.coalesce("tri", F.lit(0))
+                        / (0.5 * F.col("i_cnt") * (F.col("i_cnt") - 1)),
+                    ).otherwise(0.0)
+                )
+            ).alias("score"),
+        )
+    )
+    return (
+        graph.vertices()
+        .join(out, F.col("id") == F.col("node"), "left")
+        .select(F.col("id").alias("node"), F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

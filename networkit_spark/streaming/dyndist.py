@@ -41,8 +41,18 @@ _INF = float("inf")
 
 
 def _batch_is_incremental(events: DataFrame) -> bool:
-    """Only EDGE_ADDITION batches keep distances monotone-decreasing."""
-    return events.where(F.col("kind") != EDGE_ADDITION).limit(1).count() == 0
+    """Purely additive batches keep distances monotone-decreasing —
+    EDGE_ADDITIONs plus the no-op NODE_ADDITION / TIME_STEP markers a
+    dynamic-generator stream carries; anything destructive (removals,
+    weight updates) forces the static path."""
+    return (
+        events.where(
+            ~F.col("kind").isin(EDGE_ADDITION, "NODE_ADDITION", "TIME_STEP")
+        )
+        .limit(1)
+        .count()
+        == 0
+    )
 
 
 def _added_edges(events: DataFrame, hops: bool) -> DataFrame:

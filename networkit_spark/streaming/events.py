@@ -31,6 +31,9 @@ from networkit_spark.graph import EdgeGraph, canonicalize
 
 EDGE_ADDITION = "EDGE_ADDITION"
 EDGE_REMOVAL = "EDGE_REMOVAL"
+NODE_ADDITION = "NODE_ADDITION"
+NODE_REMOVAL = "NODE_REMOVAL"
+NODE_RESTORATION = "NODE_RESTORATION"
 EDGE_WEIGHT_UPDATE = "EDGE_WEIGHT_UPDATE"
 EDGE_WEIGHT_INCREMENT = "EDGE_WEIGHT_INCREMENT"
 
@@ -43,8 +46,13 @@ def apply_events(graph: EdgeGraph, events: DataFrame) -> EdgeGraph:
     Events canonicalize to ``src <= dst`` like the edge table.  Semantics
     per the reference: ADDITION appends (parallel additions sum),
     REMOVAL deletes the edge, WEIGHT_UPDATE replaces w, WEIGHT_INCREMENT
-    adds w.  Node events are implicit (vertex set derives from edges).
-    """
+    adds w.  NODE_REMOVAL drops the node's incident edges
+    (``GraphUpdater.cpp`` removeNode); NODE_ADDITION/RESTORATION are
+    no-ops on an edge-derived vertex set (a restored node reappears
+    with its first new edge) — documented deviation from the
+    reference's explicit node slots.  Within one batch, node removals
+    apply AFTER edge events (batch = set semantics, not a sequential
+    log; split removals into their own batch to order them)."""
     ev = events.select(
         "kind",
         F.least("u", "v").alias("src"),
@@ -74,6 +82,12 @@ def apply_events(graph: EdgeGraph, events: DataFrame) -> EdgeGraph:
         .select("src", "dst", (F.col("weight") + F.coalesce("inc_w", F.lit(0.0))).alias("weight"))
     )
     e = canonicalize(e.unionByName(adds))
+    gone = events.where(F.col("kind") == NODE_REMOVAL).select(
+        F.col("u").alias("node")
+    ).distinct()
+    e = e.join(gone.withColumnRenamed("node", "src"), "src", "left_anti").join(
+        gone.withColumnRenamed("node", "dst"), "dst", "left_anti"
+    ).select("src", "dst", "weight")
     return EdgeGraph(e, graph.directed, graph.weighted)
 
 

@@ -244,3 +244,22 @@ def test_evaluation_summary(spark, mixed):
     )
     assert s["min"] == pytest.approx(min(want.values()))
     assert s["max"] == pytest.approx(max(want.values()))
+
+
+def test_permanence_centrality(spark):
+    """Two triangles + bridge, hand-computed permanence values."""
+    from networkit_spark.operators.quality import permanence_centrality
+
+    g = EdgeGraph.from_edges(
+        edges_df(spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)])
+    )
+    part = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "node long, label long"
+    )
+    got = {r["node"]: r["score"] for r in permanence_centrality(g, part).collect()}
+    # node 0: I=2, Emax=1, deg=2, c_in=1 → 2/1/2 − 0 = 1.0
+    assert abs(got[0] - 1.0) < 1e-12
+    # node 2: I=2, Emax=1, deg=3, c_in=1 → 2/3
+    assert abs(got[2] - 2.0 / 3.0) < 1e-12
+    assert abs(got[3] - 2.0 / 3.0) < 1e-12
+    assert abs(got[5] - 1.0) < 1e-12

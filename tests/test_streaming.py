@@ -193,3 +193,17 @@ def test_epidemic_seir_wave(spark):
     # removed count never decreases
     for t in range(1, 8):
         assert census[(t, 3)] >= census[(t - 1, 3)]
+
+
+def test_node_removal_drops_incident_edges(spark):
+    from networkit_spark.streaming.events import apply_events
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]))
+    ev = spark.createDataFrame(
+        [(1, "NODE_REMOVAL", 1, None, None)],
+        "batch long, kind string, u long, v long, w double",
+    )
+    g2 = apply_events(g, ev)
+    left = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert left == {(2, 3), (0, 3)}
+    assert 1 not in {r["id"] for r in g2.vertices().collect()}
