@@ -26,7 +26,21 @@ _READERS = {
     "metis": lambda spark, path, **kw: read_metis(spark, path),
     "snap": lambda spark, path, **kw: read_snap(spark, path, **kw),
     "konect": lambda spark, path, **kw: read_konect(spark, path, **kw),
+    "gml": lambda spark, path, **kw: _read_gml(spark, path),
+    "graphml": lambda spark, path, **kw: _read_graphml(spark, path),
 }
+
+
+def _read_gml(spark, path):
+    from networkit_spark.sources.gml import read_gml
+
+    return read_gml(spark, path)
+
+
+def _read_graphml(spark, path):
+    from networkit_spark.sources.gml import read_graphml
+
+    return read_graphml(spark, path)
 
 _EXT_TO_FORMAT = {
     ".graph": "metis",
@@ -35,6 +49,8 @@ _EXT_TO_FORMAT = {
     ".edges": "edgelist",
     ".txt": "snap",
     ".konect": "konect",
+    ".gml": "gml",
+    ".graphml": "graphml",
 }
 
 
@@ -66,7 +82,17 @@ def read_graph(spark, path: str, fmt: str | None = None, **kw):
 def write_graph(graph, path: str, fmt: str | None = None, **kw) -> None:
     """``writeGraph`` dispatch: edge-list text or parquet (the native
     sink).  METIS write is a documented non-goal (COVERAGE §2.2)."""
-    key = (fmt or ("parquet" if path.lower().endswith((".parquet", ".pq")) else "edgelist"))
+    if fmt is None:
+        low = path.lower()
+        if low.endswith((".parquet", ".pq")):
+            fmt = "parquet"
+        elif low.endswith(".gml"):
+            fmt = "gml"
+        elif low.endswith(".graphml"):
+            fmt = "graphml"
+        else:
+            fmt = "edgelist"
+    key = fmt
     key = key.lower().replace("_", "").replace("-", "")
     if key == "parquet":
         graph.edges.write.mode("overwrite").parquet(path)
@@ -74,6 +100,16 @@ def write_graph(graph, path: str, fmt: str | None = None, **kw) -> None:
     if key.startswith("edgelist"):
         sep = "\t" if ("tab" in key or key == "edgelist") else " "
         write_edge_list(graph, path, separator=sep, **kw)
+        return
+    if key == "gml":
+        from networkit_spark.sources.gml import write_gml
+
+        write_gml(graph, path)
+        return
+    if key == "graphml":
+        from networkit_spark.sources.gml import write_graphml
+
+        write_graphml(graph, path)
         return
     raise ValueError(f"unknown graph sink format {fmt!r}")
 

@@ -138,3 +138,22 @@ def test_read_graph_dispatch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_graph(spark, str(tmp_path / "x.unknownext"))
+
+
+def test_gml_and_graphml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources import read_graph, write_graph
+    from networkit_spark.graph import EdgeGraph
+    from tests.conftest import edges_df
+
+    g = EdgeGraph.from_edges(
+        edges_df(spark, [(0, 1, 2.5), (1, 2, 1.0), (2, 3, 4.0)])
+    )
+    for fmt in ("gml", "graphml"):
+        p = str(tmp_path / f"g.{fmt}")
+        write_graph(g, p)  # format inferred from extension
+        back = read_graph(spark, p)
+        a = sorted(map(tuple, g.edges.collect()))
+        b = sorted(map(tuple, back.edges.collect()))
+        assert a == b, fmt
+        assert back.directed == g.directed
+        assert back.declared_nodes == 4
