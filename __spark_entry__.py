@@ -346,6 +346,17 @@ def _q_linkpred(spark, sf_dir):
     return _topk_ranked(s, 500, [F.desc("jaccard"), F.asc("u"), F.asc("v")])
 
 
+def _q_nibble(spark, sf_dir):
+    """PageRankNibble (§2.9 SCD): min-conductance sweep set around the
+    smallest node id — rows-only (PPR fixpoint + argmin sweep aren't
+    ANSI-SQL-friendly); planted-block recovery is pytest-asserted."""
+    from networkit_spark.operators.scd import pagerank_nibble
+
+    g = tpch_link_graph(spark, sf_dir)
+    seed = g.vertices().agg(F.min("id")).collect()[0][0]
+    return pagerank_nibble(g, seed=int(seed), iters=15, max_size=500).orderBy("node")
+
+
 def _q_permanence(spark, sf_dir):
     """PermanenceCentrality (§2.8) against a node%5 partition (the kind
     partition is degenerate here: the tripartite graph has no intra-kind
@@ -821,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sfigality": _q_sfigality,
         "graph_laplacian": _q_laplacian,
         "graph_permanence": _q_permanence,
+        "graph_nibble": _q_nibble,
         "graph_modularity_kind": _q_modularity_kind,
         "graph_hub_dominance": _q_hub_dominance,
         "graph_intra_density": _q_intrapartition_density,

@@ -263,3 +263,22 @@ def test_permanence_centrality(spark):
     assert abs(got[2] - 2.0 / 3.0) < 1e-12
     assert abs(got[3] - 2.0 / 3.0) < 1e-12
     assert abs(got[5] - 1.0) < 1e-12
+
+
+def test_pagerank_nibble_recovers_planted_block(spark):
+    """Two dense K5 blocks joined by one bridge: nibbling from a node in
+    block A returns exactly block A (the min-conductance sweep set)."""
+    from networkit_spark.operators.scd import pagerank_nibble, personalized_pagerank
+
+    ed = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    ed += [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    ed += [(4, 5)]
+    g = EdgeGraph.from_edges(edges_df(spark, ed))
+    got = {r["node"] for r in pagerank_nibble(g, seed=0).collect()}
+    assert got == {0, 1, 2, 3, 4}
+    got_b = {r["node"] for r in pagerank_nibble(g, seed=9).collect()}
+    assert got_b == {5, 6, 7, 8, 9}
+    # ppr mass sums to ~1 and concentrates near the seed
+    ppr = {r["node"]: r["ppr"] for r in personalized_pagerank(g, [0]).collect()}
+    assert abs(sum(ppr.values()) - 1.0) < 1e-6
+    assert ppr[0] > ppr[9]
