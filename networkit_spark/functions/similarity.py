@@ -290,10 +290,13 @@ def _ivf_assign(
     emb: DataFrame, centroids: np.ndarray, nprobe: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, vec, cell, probe) — each vector's ``nprobe`` nearest
-    centroids by cosine; probe 0 is the home cell."""
+    centroids by cosine; probe 0 is the home cell.  ``nprobe`` clamps
+    to the actual centroid count (a corpus smaller than ``n_centroids``
+    trains fewer)."""
     import pyspark.sql.types as T
 
     C = centroids
+    nprobe = min(nprobe, C.shape[0])
 
     def assign(it):
         for pdf in it:

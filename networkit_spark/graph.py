@@ -191,6 +191,9 @@ def index_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+_LINEAGE_ROOT: list[str] = []  # lazily-created session dir, atexit-removed
+
+
 def truncate_lineage(df: DataFrame, iteration: int, every: int = 8) -> DataFrame:
     """Per-iteration lineage truncation for driver loops.
 
@@ -199,11 +202,22 @@ def truncate_lineage(df: DataFrame, iteration: int, every: int = 8) -> DataFrame
     binaries and per-iteration wall exploding 4-5x past ~10 chained
     checkpoints).  Every ``every`` iterations the state takes a parquet
     round-trip instead, which resets the chain completely; other
-    iterations use the cheap local checkpoint."""
+    iterations use the cheap local checkpoint.
+
+    All round-trip dirs live under ONE session root removed at process
+    exit — earlier dirs may still back live DataFrames (the caller can
+    hold any iteration's state), so per-call deletion is unsafe; the
+    lifetime bound matches localCheckpoint's block lifetime."""
     if every > 0 and iteration > 0 and iteration % every == 0:
+        import atexit
+        import shutil
         import tempfile
 
-        tmp = tempfile.mkdtemp(prefix="nk_lineage_")
+        if not _LINEAGE_ROOT:
+            root = tempfile.mkdtemp(prefix="nk_lineage_")
+            _LINEAGE_ROOT.append(root)
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+        tmp = tempfile.mkdtemp(dir=_LINEAGE_ROOT[0])
         df.write.mode("overwrite").parquet(tmp)
         return df.sparkSession.read.parquet(tmp)
     return df.localCheckpoint(eager=True)

@@ -463,12 +463,11 @@ class Checkpointer:
             # chained localCheckpoints accumulate serialized task state
             # (2 MB+ binaries, superlinear slow-down past ~10 chained) —
             # periodic parquet round-trip resets the chain even when no
-            # durable directory is configured
-            import tempfile
+            # durable directory is configured (session-rooted, atexit-
+            # cleaned — see graph.truncate_lineage)
+            from networkit_spark.graph import truncate_lineage
 
-            tmp = tempfile.mkdtemp(prefix="nk_ckpt_")
-            state.write.mode("overwrite").parquet(tmp)
-            out = state.sparkSession.read.parquet(tmp)
+            out = truncate_lineage(state, iteration, every=1)
         else:
             out = state.localCheckpoint(eager=True)
         rec = {

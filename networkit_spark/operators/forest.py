@@ -26,8 +26,13 @@ from networkit_spark.graph import EdgeGraph
 from networkit_spark.operators.components import connected_components
 
 
-def minimum_spanning_forest(graph: EdgeGraph, max_rounds: int = 40) -> DataFrame:
-    """(src, dst, weight) — MSF edges (Borůvka)."""
+def _boruvka_forest(
+    graph: EdgeGraph, priority: str, annotate=None, max_rounds: int = 40
+) -> DataFrame:
+    """Shared Borůvka loop: per round, every component picks its
+    ``min_by(struct(src, dst, weight), <priority>)`` outgoing edge,
+    picked edges join the forest, components merge via CC over the
+    forest.  ``annotate`` may add columns the priority references."""
     spark = graph.spark
     e = graph.edges.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
     labels = graph.vertices().select(
@@ -43,13 +48,14 @@ def minimum_spanning_forest(graph: EdgeGraph, max_rounds: int = 40) -> DataFrame
         )
         if ann.limit(1).count() == 0:
             break
-        # each component's minimum outgoing edge, deterministic tie-break
         both = ann.select(F.col("sl").alias("comp"), "src", "dst", "weight").unionByName(
             ann.select(F.col("dl").alias("comp"), "src", "dst", "weight")
         )
+        if annotate is not None:
+            both = annotate(both)
         picked = (
             both.groupBy("comp")
-            .agg(F.expr("min_by(struct(src, dst, weight), struct(weight, src, dst))").alias("e"))
+            .agg(F.expr(f"min_by(struct(src, dst, weight), {priority})").alias("e"))
             .select("e.src", "e.dst", "e.weight")
             .distinct()
         )
@@ -64,6 +70,12 @@ def minimum_spanning_forest(graph: EdgeGraph, max_rounds: int = 40) -> DataFrame
             .localCheckpoint(eager=True)
         )
     return forest
+
+
+def minimum_spanning_forest(graph: EdgeGraph, max_rounds: int = 40) -> DataFrame:
+    """(src, dst, weight) — MSF edges (Borůvka), deterministic
+    (weight, src, dst) tie-break."""
+    return _boruvka_forest(graph, "struct(weight, src, dst)", max_rounds=max_rounds)
 
 
 def luby_mis(graph: EdgeGraph, seed: int = 42, max_rounds: int = 64) -> DataFrame:
@@ -156,43 +168,13 @@ def random_maximum_spanning_forest(graph: EdgeGraph, seed: int = 42) -> DataFram
     equal-weight edges with its global RNG; the hash realizes the same
     "uniformly chosen among all maximum forests" contract
     deterministically).  Borůvka with priority (−weight, hash)."""
-    spark = graph.spark
-    e = graph.edges.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
-    labels = graph.vertices().select(
-        F.col("id").alias("node"), F.col("id").alias("label")
-    ).localCheckpoint(eager=True)
-    forest = spark.createDataFrame([], "src long, dst long, weight double")
-    for _ in range(40):
-        ann = (
-            e.join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "sl"), "src")
-            .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dl"), "dst")
-            .where(F.col("sl") != F.col("dl"))
-        )
-        if ann.limit(1).count() == 0:
-            break
-        both = ann.select(F.col("sl").alias("comp"), "src", "dst", "weight").unionByName(
-            ann.select(F.col("dl").alias("comp"), "src", "dst", "weight")
-        ).withColumn("h", F.abs(F.xxhash64(F.lit(seed), "src", "dst")))
-        picked = (
-            both.groupBy("comp")
-            .agg(
-                F.expr(
-                    "min_by(struct(src, dst, weight), struct(-weight, h, src, dst))"
-                ).alias("e")
-            )
-            .select("e.src", "e.dst", "e.weight")
-            .distinct()
-        )
-        forest = forest.unionByName(picked).localCheckpoint(eager=True)
-        fgraph = EdgeGraph(forest, directed=False, weighted=True)
-        cc = connected_components(fgraph, impl="sql")
-        labels = (
-            labels.select("node")
-            .join(cc, "node", "left")
-            .select("node", F.coalesce("label", F.col("node")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
-    return forest
+    return _boruvka_forest(
+        graph,
+        "struct(-weight, h, src, dst)",
+        annotate=lambda b: b.withColumn(
+            "h", F.abs(F.xxhash64(F.lit(seed), "src", "dst"))
+        ),
+    )
 
 
 def union_maximum_spanning_forest(graph: EdgeGraph, max_levels: int = 10_000) -> DataFrame:
@@ -213,9 +195,18 @@ def union_maximum_spanning_forest(graph: EdgeGraph, max_levels: int = 10_000) ->
     similarity levels) where level counts are small."""
     spark = graph.spark
     e = graph.edges.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    n_levels = e.select("weight").distinct().count()
+    if n_levels > max_levels:
+        # silently truncating would DROP forest edges from every lighter
+        # level — wrong output, not a coarser one.  Fail loudly.
+        raise ValueError(
+            f"union_maximum_spanning_forest: {n_levels} distinct weight levels "
+            f"exceed max_levels={max_levels}; quantize the weights (e.g. "
+            f"F.round) or use random_maximum_spanning_forest for continuous scores"
+        )
     levels = [
         r["weight"]
-        for r in e.select("weight").distinct().orderBy(F.desc("weight")).limit(max_levels).collect()
+        for r in e.select("weight").distinct().orderBy(F.desc("weight")).collect()
     ]
     labels = graph.vertices().select(
         F.col("id").alias("node"), F.col("id").alias("label")

@@ -280,15 +280,27 @@ def _hyperbolic_target_radius(n: int, k: float, alpha: float, eps: float = 0.01)
     gamma = 2 * alpha + 1
     xi_inv = (gamma - 2) / (gamma - 1)
     v = k * (math.pi / 2) * xi_inv * xi_inv
+    if n <= v:
+        raise ValueError(
+            f"hyperbolic: avg_degree={k} is not achievable for n={n} "
+            f"(requires n > {v:.1f}); the bisection bracket would be inverted"
+        )
     lo, hi = math.log(n / v), 4 * math.log(n / v)
     r = 2 * math.log(n / v)
-    while abs(_hyperbolic_expected_degree(n, alpha, r) - k) > eps:
+    # bounded bisection: the bracket halves each round, so 200 rounds is
+    # far past float convergence — hitting it means eps is unreachable
+    for _ in range(200):
+        if abs(_hyperbolic_expected_degree(n, alpha, r) - k) <= eps:
+            return r
         r = (lo + hi) / 2
         if _hyperbolic_expected_degree(n, alpha, r) < k:
             hi = r
         else:
             lo = r
-    return r
+    raise RuntimeError(
+        f"hyperbolic: target-radius bisection did not reach eps={eps} "
+        f"(n={n}, k={k}, alpha={alpha})"
+    )
 
 
 def hyperbolic(
@@ -335,10 +347,16 @@ def hyperbolic(
         "id", "phi", F.cosh("r").alias("cr"), F.sinh("r").alias("sr"), F.col("r")
     ).localCheckpoint(eager=True)
 
+    if not core_radius_frac > 0.5:
+        raise ValueError(
+            f"hyperbolic: core_radius_frac={core_radius_frac} must exceed 0.5 — "
+            f"below it the outer-pair angular reach cos term leaves [-1, 1] "
+            f"(every outer-outer pair can connect; no sector pruning exists)"
+        )
     r_c = core_radius_frac * R
     # angular reach of an outer-outer pair, exact (finite: r_c > R/2)
     w = math.acos(
-        (math.cosh(r_c) ** 2 - math.cosh(R)) / (math.sinh(r_c) ** 2)
+        max(-1.0, (math.cosh(r_c) ** 2 - math.cosh(R)) / (math.sinh(r_c) ** 2))
     )
     nb = int(two_pi / w) if w > 0 else 0
 

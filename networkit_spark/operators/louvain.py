@@ -109,18 +109,12 @@ def _local_moving(graph: EdgeGraph, gamma: float, max_sweeps: int) -> DataFrame:
             F.coalesce("new_label", "label").alias("label"),
             (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
         )
-        if sweep > 0 and sweep % 8 == 0:
-            # hard lineage break: chained per-sweep localCheckpoints leave
-            # a growing serialized task state (observed: task binaries
-            # 2 MB+ and per-sweep wall exploding 4-5x/sweep past ~10
-            # sweeps) — a parquet round-trip resets it completely
-            import tempfile
+        # hard lineage break every 8th sweep (chained localCheckpoints
+        # accumulate multi-MB task binaries) — shared session-rooted,
+        # atexit-cleaned round-trip helper
+        from networkit_spark.graph import truncate_lineage
 
-            tmp = tempfile.mkdtemp(prefix="nk_plm_")
-            new_labels.write.mode("overwrite").parquet(tmp)
-            new_labels = new_labels.sparkSession.read.parquet(tmp)
-        else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = truncate_lineage(new_labels, sweep, every=8)
         moved = new_labels.where("chg").count()
         labels = new_labels.select("node", "label")
         # a zero sweep only proves one parity class is stable — stop

@@ -44,10 +44,15 @@ from networkit_spark.graph import EdgeGraph, truncate_lineage
 def lp_degree_ordered(
     graph: EdgeGraph,
     theta: float | None = None,
-    max_iter: int | None = None,
+    max_iter: int = 100,
 ) -> DataFrame:
     """Return ``(node: long, label: long)`` — LPDegreeOrdered assignment
-    under synchronous sweeps (see module doc for the ordering rule)."""
+    under synchronous sweeps (see module doc for the ordering rule).
+
+    ``max_iter`` is a hard cap, not merely a convergence hint:
+    synchronous label propagation OSCILLATES on bipartite-ish structure
+    (two labels swapping forever — the TPCH link graph plateaus at ~60%
+    of n), so an uncapped loop need never reach ``theta``."""
     n = graph.num_nodes()
     if theta is None:
         theta = n / 1e5
@@ -82,7 +87,7 @@ def lp_degree_ordered(
         )
         updated = new_labels.where("chg").count()
         labels = new_labels.select("node", "label")
-        if updated <= theta or (max_iter is not None and it >= max_iter):
+        if updated <= theta or it >= max_iter:
             break
     sym.unpersist()
     return labels

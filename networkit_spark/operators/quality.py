@@ -247,16 +247,18 @@ def isolated_interpartition_expansion(
     graph: EdgeGraph, labels: DataFrame
 ) -> DataFrame:
     """(label, value) — ``IsolatedInterpartitionExpansion.cpp:8-59``:
-    cut(C) / min(|C|, n - |C|)."""
+    cut(C) / min(|C|, n - |C|); 0 for the degenerate one-cluster case
+    (same guard as the conductance sibling — NULL would silently drop
+    the cluster from ``evaluation_summary``)."""
     n = labels.count()
     cut = _cluster_cut(graph, labels)
     sizes = subset_sizes(labels)
+    denom = F.least(F.col("size"), F.lit(n) - F.col("size"))
     return sizes.join(cut, "label", "left").select(
         "label",
-        (
-            F.coalesce("cut", F.lit(0.0))
-            / F.least(F.col("size"), F.lit(n) - F.col("size"))
-        ).alias("value"),
+        F.when(denom > 0, F.coalesce("cut", F.lit(0.0)) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("value"),
     )
 
 

@@ -55,6 +55,27 @@ def _batch_is_incremental(events: DataFrame) -> bool:
     )
 
 
+def _readds_existing_edge(graph: EdgeGraph, events: DataFrame) -> bool:
+    """``apply_events`` SUMS the weight when an EDGE_ADDITION hits an
+    existing edge — a weight INCREASE, which breaks the monotone-
+    decreasing premise of every weighted warm start (hop distances are
+    unaffected: the edge was already traversable).  Such batches must
+    take the static path."""
+    return (
+        _added_edges(events, hops=True)
+        .join(
+            graph.edges.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            ),
+            ["src", "dst"],
+            "left_semi",
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
 def _added_edges(events: DataFrame, hops: bool) -> DataFrame:
     """Canonical (src, dst, weight) of the batch's insertions."""
     w = F.lit(1.0) if hops else F.col("w").cast("double")
@@ -126,7 +147,11 @@ def incremental_sssp(
             new_graph.directed,
             new_graph.weighted,
         )
-    if new_graph.directed or not _batch_is_incremental(events):
+    if (
+        new_graph.directed
+        or not _batch_is_incremental(events)
+        or (not hops and _readds_existing_edge(graph, events))
+    ):
         out = bfs(new_graph, source) if hops else sssp(new_graph, source)
         if hops:
             out = out.select("node", F.col("dist").cast("double").alias("dist"))
@@ -372,10 +397,15 @@ def incremental_apsp(state: APSPState, events: DataFrame) -> APSPState:
     edge at most once).  Non-insertion batches rebuild statically, as in
     the reference (insertions/weight-decreases only, ``:71-73``)."""
     new_graph = apply_events(state.graph, events)
-    if new_graph.directed or not _batch_is_incremental(events):
+    if (
+        new_graph.directed
+        or not _batch_is_incremental(events)
+        or (not state.hops and _readds_existing_edge(state.graph, events))
+    ):
         # directed fallback: _added_edges canonicalizes endpoint order,
         # so the warm start below would relax through reverse edges —
-        # same guard as incremental_sssp
+        # same guard as incremental_sssp; weighted re-additions are
+        # weight increases (apply_events sums) and also force a rebuild
         return apsp_state(new_graph, state.hops)
 
     added = _added_edges(events, state.hops).collect()

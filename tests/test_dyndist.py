@@ -218,3 +218,29 @@ def test_dyn_top_harmonic_matches_static_closeness(spark):
     want = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert [n for n, _ in got] == [n for n, _ in want]
     assert [s for _, s in got] == pytest.approx([s for _, s in want])
+
+
+def test_weighted_readdition_takes_static_path(spark):
+    """apply_events SUMS the weight when an EDGE_ADDITION hits an
+    existing edge — a weight increase, so the weighted warm starts must
+    rebuild statically (reference Dyn* support decreases only)."""
+    from networkit_spark.streaming.dyndist import apsp_state, incremental_apsp
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 2.5)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    # re-add (0,2) with +2: new weight 4.5 — the old d(0,2)=2.5 via the
+    # direct edge is stale; correct answer becomes 2.0 via node 1
+    ev = _events(spark, [(1, "EDGE_ADDITION", 0, 2, 2.0)])
+
+    st = apsp_state(g, hops=False)
+    st2 = incremental_apsp(st, ev)
+    want = _apsp_dict(apsp_state(st2.graph, hops=False))
+    assert _apsp_dict(st2) == pytest.approx(want)
+    assert _apsp_dict(st2)[(0, 2)] == pytest.approx(2.0)
+
+    d0 = sssp(g, 0)
+    new_g, d1 = incremental_sssp(g, 0, d0, ev, hops=False)
+    want = {r["node"]: r["dist"] for r in sssp(new_g, 0).collect()}
+    got = {r["node"]: r["dist"] for r in d1.collect()}
+    assert got == pytest.approx(want)
+    assert got[2] == pytest.approx(2.0)
