@@ -346,6 +346,23 @@ def _q_linkpred(spark, sf_dir):
     return _topk_ranked(s, 500, [F.desc("jaccard"), F.asc("u"), F.asc("v")])
 
 
+def _q_cliques(spark, sf_dir):
+    """MaximalCliques (§2.12) clique-size histogram on the part–supplier
+    subgraph.  The subgraph is BIPARTITE, so every maximal clique is
+    exactly one edge — which makes the histogram ANSI-SQL (size 2,
+    count = |E|): an end-to-end oracle for the distributed ELS
+    decomposition's no-duplicate / no-miss invariants.  The general
+    (triangle-rich) semantics are brute-force pytest-verified."""
+    from networkit_spark.operators.cliques import maximal_cliques
+
+    g = _ps_subgraph(spark, sf_dir)
+    return (
+        maximal_cliques(g)
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_cliques"))
+    )
+
+
 def _q_nibble(spark, sf_dir):
     """PageRankNibble (§2.9 SCD): min-conductance sweep set around the
     smallest node id — rows-only (PPR fixpoint + argmin sweep aren't
@@ -833,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_laplacian": _q_laplacian,
         "graph_permanence": _q_permanence,
         "graph_nibble": _q_nibble,
+        "graph_cliques": _q_cliques,
         "graph_modularity_kind": _q_modularity_kind,
         "graph_hub_dominance": _q_hub_dominance,
         "graph_intra_density": _q_intrapartition_density,
@@ -1324,6 +1342,11 @@ scored AS (
 SELECT u, v, common_neighbors, jaccard, adamic_adar, resource_alloc, pref_attachment, rnk
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC) AS rnk FROM scored)
 WHERE rnk <= 500
+""",
+        "graph_cliques": f"""
+WITH edges AS ({_EDGES}),
+{_PS_EDGES_SQL}
+SELECT CAST(2 AS BIGINT) AS size, COUNT(*) AS n_cliques FROM ps
 """,
         "graph_permanence": f"""
 WITH {_GRAPH_CTES},

@@ -118,3 +118,37 @@ def test_approx_global_cc_within_ci(spark):
     assert abs(est - exact) <= 4 * sigma + 1e-9
     # determinism: same seed, same estimate
     assert approx_global_cc(g, trials=500, seed=3) == approx_global_cc(g, trials=500, seed=3)
+
+
+def test_maximal_cliques_brute_force_oracle(spark):
+    """Distributed ELS vs an itertools brute force on a mixed graph."""
+    import itertools
+
+    from networkit_spark.operators.cliques import max_clique, maximal_cliques
+
+    # K4 (0-3) + pendant (3,4) + square (5,6,7,8) + bridging edge (4,5)
+    ed = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    ed += [(3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (5, 8)]
+    g = EdgeGraph.from_edges(edges_df(spark, ed))
+
+    got = {tuple(r["nodes"]) for r in maximal_cliques(g).collect()}
+
+    nodes = sorted({x for e in ed for x in e})
+    eset = {tuple(sorted(e)) for e in ed}
+
+    def is_clique(c):
+        return all(tuple(sorted(p)) in eset for p in itertools.combinations(c, 2))
+
+    want = set()
+    for k in range(1, len(nodes) + 1):
+        for c in itertools.combinations(nodes, k):
+            if is_clique(c) and not any(
+                is_clique(tuple(sorted(set(c) | {x}))) for x in nodes if x not in c
+            ):
+                want.add(c)
+    assert got == want
+    mc = max_clique(g).collect()[0]
+    assert mc["size"] == 4 and sorted(mc["nodes"]) == [0, 1, 2, 3]
+    # every clique appears exactly once (no duplicate emission)
+    all_rows = maximal_cliques(g).collect()
+    assert len(all_rows) == len(got)
