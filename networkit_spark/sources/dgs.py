@@ -31,10 +31,9 @@ from networkit_spark.streaming.events import (
     EDGE_REMOVAL,
     EDGE_WEIGHT_UPDATE,
     EVENT_SCHEMA,
+    NODE_ADDITION,
+    NODE_REMOVAL,
 )
-
-NODE_ADDITION = "NODE_ADDITION"
-NODE_REMOVAL = "NODE_REMOVAL"
 
 
 def read_dgs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -83,3 +82,36 @@ def read_dgs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         [(k, v) for k, v in names.items()], "name string, id long"
     )
     return events, names_df
+
+
+def write_dgs(events: DataFrame, path: str, name: str = "g") -> None:
+    """``DGSWriter`` counterpart: serialize an EVENT_SCHEMA DataFrame
+    back to a DGS004 script.  Batches become ``st`` ticks; node ids are
+    written as ``n<id>`` names (round-trips through :func:`read_dgs`'s
+    first-appearance dense mapping when events introduce ids in
+    ascending order).  Driver-side like the reader — an event script is
+    a driver-scale artifact."""
+    rows = events.orderBy("batch").collect()
+    n_events = len(rows)
+    ticks = len({r["batch"] for r in rows})
+    lines = ["DGS004", f"{name} {ticks} {n_events}"]
+    last_batch = None
+    for r in rows:
+        if last_batch is not None and r["batch"] != last_batch:
+            lines.append("st")
+        last_batch = r["batch"]
+        k = r["kind"]
+        if k == NODE_ADDITION:
+            lines.append(f"an n{r['u']}")
+        elif k == NODE_REMOVAL:
+            lines.append(f"dn n{r['u']}")
+        elif k == EDGE_ADDITION:
+            lines.append(f"ae e{r['u']}_{r['v']} n{r['u']} n{r['v']}")
+        elif k == EDGE_REMOVAL:
+            lines.append(f"de n{r['u']}-n{r['v']}")
+        elif k == EDGE_WEIGHT_UPDATE:
+            lines.append(f"ce n{r['u']}-n{r['v']} weight={r['w']}")
+        # TIME_STEP markers are carried by the st lines between batches
+    lines.append("st")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -78,3 +78,30 @@ def test_coarsen_by_real_matching(spark):
     n_c = coarse.num_nodes()
     assert n_c < 20
     assert coarse.edges.where("src = dst").count() == 0
+
+
+def test_dgs_write_read_roundtrip(spark, tmp_path):
+    """The DM generator's event stream survives write_dgs -> read_dgs
+    (ids introduced in ascending order, so the dense mapping is the
+    identity)."""
+    from networkit_spark.operators.generators import (
+        dynamic_dorogovtsev_mendes_events,
+    )
+    from networkit_spark.sources.dgs import read_dgs, write_dgs
+
+    ev = dynamic_dorogovtsev_mendes_events(spark, steps=10, seed=3)
+    p = str(tmp_path / "dm.dgs")
+    write_dgs(ev, p)
+    back, names = read_dgs(spark, p)
+    def norm(df):
+        # reader marks node-event v as -1, the generator as NULL — both
+        # are "absent" (apply_events only reads u/v on edge kinds)
+        return sorted(
+            (r["batch"], r["kind"], r["u"], -1 if r["v"] in (None, -1) else r["v"])
+            for r in df.collect()
+            if r["kind"] in ("NODE_ADDITION", "EDGE_ADDITION")
+        )
+
+    want = norm(ev)
+    got = norm(back)
+    assert got == want
