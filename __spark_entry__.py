@@ -683,7 +683,7 @@ def _q_dyn_topharmonic(spark, sf_dir):
     st = _dynapsp_state(spark, sf_dir)
     scores = (
         st.dist.where(F.col("src") != F.col("dst"))
-        .groupBy(F.col("dst").alias("node"))
+        .groupBy(F.col("src").alias("node"))
         .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("score"))
     )
     return scores.orderBy(F.desc("score"), F.asc("node")).limit(10)

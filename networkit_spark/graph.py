@@ -207,19 +207,42 @@ def truncate_lineage(df: DataFrame, iteration: int, every: int = 8) -> DataFrame
     All round-trip dirs live under ONE session root removed at process
     exit — earlier dirs may still back live DataFrames (the caller can
     hold any iteration's state), so per-call deletion is unsafe; the
-    lifetime bound matches localCheckpoint's block lifetime."""
+    lifetime bound matches localCheckpoint's block lifetime.
+
+    The root must be executor-visible on a real cluster: it resolves to
+    ``$SPARK_GRAFT_BLOB_ROOT``, else the session's checkpoint dir, and
+    only falls back to a driver-local tempdir in local mode (where
+    driver == executor)."""
     if every > 0 and iteration > 0 and iteration % every == 0:
         import atexit
+        import os
         import shutil
         import tempfile
+        import uuid
 
+        spark = df.sparkSession
         if not _LINEAGE_ROOT:
-            root = tempfile.mkdtemp(prefix="nk_lineage_")
-            _LINEAGE_ROOT.append(root)
-            atexit.register(shutil.rmtree, root, ignore_errors=True)
-        tmp = tempfile.mkdtemp(dir=_LINEAGE_ROOT[0])
+            root = os.environ.get("SPARK_GRAFT_BLOB_ROOT")
+            if not root:
+                ckpt = spark.sparkContext.getCheckpointDir()
+                if ckpt:
+                    root = f"{ckpt.rstrip('/')}/nk_lineage"
+            if root:
+                _LINEAGE_ROOT.append(f"{root.rstrip('/')}/nk_lineage_{uuid.uuid4().hex}")
+            else:
+                master = spark.sparkContext.master or ""
+                if not master.startswith("local"):
+                    raise RuntimeError(
+                        "truncate_lineage needs a shared filesystem root on a "
+                        "cluster: set SPARK_GRAFT_BLOB_ROOT or "
+                        "spark.sparkContext.setCheckpointDir(...)"
+                    )
+                local = tempfile.mkdtemp(prefix="nk_lineage_")
+                atexit.register(shutil.rmtree, local, ignore_errors=True)
+                _LINEAGE_ROOT.append(local)
+        tmp = f"{_LINEAGE_ROOT[0]}/it_{iteration}_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
-        return df.sparkSession.read.parquet(tmp)
+        return spark.read.parquet(tmp)
     return df.localCheckpoint(eager=True)
 
 

@@ -76,8 +76,14 @@ def laplacian_centrality(graph: EdgeGraph, normalized: bool = True) -> DataFrame
     14-45``): the Laplacian-energy drop when the node is removed,
     score(u) = wdeg(u)² + Σ_{v∈N(u)} w·(w + 2·wdeg(v)); normalized by
     the total energy Σ wdeg² + Σ_sym w².  Two joins + aggs, no spectral
-    solve — the reference's own local formula."""
-    sym = graph.sym().where(F.col("src") != F.col("dst"))
+    solve — the reference's own local formula.
+
+    Self-loop convention matches the reference: ``weightedDegree``
+    counts a loop ONCE (``Graph.cpp computeWeightedDegree``) and
+    ``forNeighborsOf`` visits it once, so loops contribute to wdeg, to
+    the neighbor sum (with v = u), and ew² once to the total energy —
+    ``sym()`` keeps loops as a single row, which is exactly that."""
+    sym = graph.sym()
     wdeg = sym.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg"))
     nbr = (
         sym.join(

@@ -84,21 +84,52 @@ def read_dgs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     return events, names_df
 
 
+# Deterministic within-batch serialization order: nodes must be
+# introduced before the edges that reference them (the reader's
+# first-appearance id mapping), removals after the mutations they gate.
+_KIND_PRIORITY = {
+    NODE_ADDITION: 0,
+    EDGE_ADDITION: 1,
+    EDGE_WEIGHT_UPDATE: 2,
+    EDGE_REMOVAL: 3,
+    NODE_REMOVAL: 4,
+}
+
+
 def write_dgs(events: DataFrame, path: str, name: str = "g") -> None:
     """``DGSWriter`` counterpart: serialize an EVENT_SCHEMA DataFrame
     back to a DGS004 script.  Batches become ``st`` ticks; node ids are
     written as ``n<id>`` names (round-trips through :func:`read_dgs`'s
     first-appearance dense mapping when events introduce ids in
     ascending order).  Driver-side like the reader — an event script is
-    a driver-scale artifact."""
-    rows = events.orderBy("batch").collect()
+    a driver-scale artifact.
+
+    Interop notes (DGSReader.cpp ``split.size() == 2`` guard): ``st``
+    lines carry the tick number as an operand — the reference reader
+    IGNORES bare ``st`` lines, so a 2-token form is required for the
+    time-step boundaries to survive.  One ``st`` line is emitted per
+    UNIT of batch-number delta (readers advance the clock by 1 per
+    line), so gaps in batch numbers (0 then 2) are preserved.  Rows are
+    ordered by (batch, kind-priority, u, v) so the script is
+    deterministic under shuffle and ``an`` lines precede the ``ae``
+    lines that reference them."""
+    rows = events.collect()
+    rows.sort(
+        key=lambda r: (
+            r["batch"],
+            _KIND_PRIORITY.get(r["kind"], 9),
+            r["u"],
+            r["v"],
+        )
+    )
     n_events = len(rows)
     ticks = len({r["batch"] for r in rows})
     lines = ["DGS004", f"{name} {ticks} {n_events}"]
     last_batch = None
     for r in rows:
         if last_batch is not None and r["batch"] != last_batch:
-            lines.append("st")
+            for t in range(int(last_batch) + 1, int(r["batch"]) + 1):
+                lines.append(f"st {t}")
         last_batch = r["batch"]
         k = r["kind"]
         if k == NODE_ADDITION:
@@ -112,6 +143,6 @@ def write_dgs(events: DataFrame, path: str, name: str = "g") -> None:
         elif k == EDGE_WEIGHT_UPDATE:
             lines.append(f"ce n{r['u']}-n{r['v']} weight={r['w']}")
         # TIME_STEP markers are carried by the st lines between batches
-    lines.append("st")
+    lines.append(f"st {int(last_batch) + 1 if rows else 0}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -480,10 +480,14 @@ class DynTopHarmonicCloseness:
 
     def ranking(self) -> DataFrame:
         """(node, score) — top-k by harmonic sum, deterministic
-        (score desc, node asc) like ``top_closeness``."""
+        (score desc, node asc) like ``top_closeness``.
+
+        Grouped by ``src`` = distances FROM the node (out-harmonic),
+        the reference's convention; for undirected graphs the two
+        groupings coincide, for directed state they do not."""
         scores = (
             self.state.dist.where(F.col("src") != F.col("dst"))
-            .groupBy(F.col("dst").alias("node"))
+            .groupBy(F.col("src").alias("node"))
             .agg(F.sum(1.0 / F.col("dist")).alias("score"))
         )
         full = (

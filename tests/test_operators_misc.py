@@ -511,6 +511,25 @@ def test_sfigality_and_laplacian(spark):
     assert abs(sum(norm.values()) * lap_energy() - sum(got.values())) < 1e-6
 
 
+def test_laplacian_self_loops(spark):
+    """Reference convention (LaplacianCentrality.cpp + Graph.cpp
+    computeWeightedDegree): a loop counts ONCE in weightedDegree, is
+    visited once by forNeighborsOf (v = u), and adds ew² once to the
+    total energy."""
+    from networkit_spark.operators.degrees import laplacian_centrality
+
+    edges = [(0, 1, 2.0), (1, 1, 3.0), (1, 2, 1.0)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    got = {r["node"]: r["score"] for r in laplacian_centrality(g, normalized=False).collect()}
+    # wdeg: d0=2, d1=6 (loop once), d2=1
+    assert got[0] == pytest.approx(4 + 2 * (2 + 2 * 6))          # 32
+    assert got[1] == pytest.approx(36 + 2 * (2 + 4) + 3 * (3 + 12) + 1 * (1 + 2))  # 96
+    assert got[2] == pytest.approx(1 + 1 * (1 + 2 * 6))          # 14
+    norm = {r["node"]: r["score"] for r in laplacian_centrality(g).collect()}
+    total = (4 + 36 + 1) + (4 + 4 + 9 + 1 + 1)  # Σd² + Σ_visits ew² = 60
+    assert norm[1] == pytest.approx(96 / total)
+
+
 def test_spanning_edge_centrality(spark):
     from networkit_spark.operators.node_distance import spanning_edge_centrality
 
