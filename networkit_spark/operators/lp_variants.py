@@ -93,6 +93,137 @@ def lp_degree_ordered(
     return labels
 
 
+def lp_potts(
+    graph: EdgeGraph,
+    alpha: float = 0.3,
+    theta: float | None = None,
+    max_iter: int = 20,
+    base_clustering: DataFrame | None = None,
+) -> DataFrame:
+    """Absolute-Potts-Model label propagation — reference
+    ``cpp/community/LPPotts.cpp:33-160``: a node adopts the label
+    maximizing ``count_in_neighborhood(l) − α·(globalCount(l) −
+    count_in_neighborhood(l))`` (UNWEIGHTED neighbor counts, ``:92-104``),
+    i.e. popular-globally labels are penalized, which bounds community
+    sizes.  The reference iterates asynchronously with a random
+    tie-break; this engine is the SYNCHRONOUS variant (every sweep reads
+    the previous sweep's labels and global counts) with the smallest-id
+    tie-break, same as :func:`plp`/:func:`lp_degree_ordered` — so one
+    sweep is joins + a window argmax and the gate row has a full DuckDB
+    oracle.  Stops when ≤ ``theta`` (default n/1e5, ``:47-49``) nodes
+    update or after ``max_iter`` sweeps (synchronous LP can oscillate,
+    the cap is mandatory).
+
+    Returns ``(node: long, label: long)``."""
+    n = graph.num_nodes()
+    if theta is None:
+        theta = n / 1e5
+    sym = (graph.sym() if not graph.directed else graph.to_undirected().sym()).persist()
+    if base_clustering is not None:
+        labels = base_clustering.select("node", "label")
+    else:
+        labels = graph.vertices().select(
+            F.col("id").alias("node"), F.col("id").alias("label")
+        )
+    it = 0
+    while True:
+        it += 1
+        glob = labels.groupBy("label").agg(F.count(F.lit(1)).alias("g"))
+        lw = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # weight(l) = cnt − α·(g − cnt) = (1+α)·cnt − α·g ; glob is a
+        # label-count dim table — broadcast-sized after a few sweeps,
+        # but leave the strategy to AQE (it starts at n rows).
+        best = (
+            lw.join(glob, "label")
+            .withColumn(
+                "wgt",
+                (1.0 + alpha) * F.col("cnt") - alpha * F.col("g"),
+            )
+            .groupBy("node")
+            .agg(F.expr("max_by(label, struct(wgt, -label))").alias("heavy"))
+        )
+        new_labels = truncate_lineage(
+            labels.join(best, "node", "left").select(
+                "node",
+                F.coalesce("heavy", "label").alias("label"),
+                (F.coalesce("heavy", "label") != F.col("label")).alias("chg"),
+            ),
+            it,
+        )
+        updated = new_labels.where("chg").count()
+        labels = new_labels.select("node", "label")
+        if updated <= theta or it >= max_iter:
+            break
+    sym.unpersist()
+    return labels
+
+
+def olp(
+    graph: EdgeGraph,
+    k: int = 3,
+    theta: float | None = None,
+    max_iter: int = 20,
+    min_size: int = 5,
+) -> DataFrame:
+    """Overlapping label propagation — reference ``cpp/community/
+    OLP.cpp:28-160`` (Ovelgönne ensemble-LP variant): every node keeps
+    up to ``k`` labels; per sweep it gathers the WEIGHTED frequency of
+    every label held by any neighbor (``:71-76``) and keeps the ``k``
+    heaviest (all of them when ≤ k distinct, ``:80-84``); communities
+    with fewer than 5 members are discarded at the end (``:139-152``).
+    Reference tie-breaks shuffle randomly (``:96-105``); this engine is
+    the synchronous variant with the deterministic (weight desc, label
+    asc) ranking, so one sweep is a join + window top-k — the gate has
+    a full DuckDB oracle.
+
+    Returns the COVER ``(node: long, label: long)`` (a node may appear
+    in up to ``k`` rows; nodes whose every label was discarded appear
+    in none, as in the reference's Cover)."""
+    n = graph.num_nodes()
+    if theta is None:
+        theta = n / 1e5
+    sym = (graph.sym() if not graph.directed else graph.to_undirected().sym()).persist()
+    cover = graph.vertices().select(
+        F.col("id").alias("node"), F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
+    it = 0
+    while True:
+        it += 1
+        received = (
+            sym.join(cover.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("weight").alias("wsum"))
+        )
+        new_cover = truncate_lineage(
+            received.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("node", "label"),
+            it,
+        )
+        # changed node count = nodes in the symmetric set difference
+        changed = (
+            new_cover.exceptAll(cover)
+            .select("node")
+            .unionByName(cover.exceptAll(new_cover).select("node"))
+            .distinct()
+            .count()
+        )
+        cover = new_cover
+        if changed <= theta or it >= max_iter:
+            break
+    sym.unpersist()
+    sizes = cover.groupBy("label").agg(F.count(F.lit(1)).alias("csz"))
+    return (
+        cover.join(sizes.where(F.col("csz") >= min_size), "label")
+        .select("node", "label")
+    )
+
+
 def _speak(memory: DataFrame, sym: DataFrame, it: int, seed: int) -> DataFrame:
     """One label per (speaker → listener) edge, sampled from the speaker's
     memory proportional to counts via a counter-based hash RNG: draw

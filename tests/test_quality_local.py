@@ -8,6 +8,7 @@ StablePartitionNodes}.cpp`` exactly (see each test's docstring).
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from networkit_spark.graph import EdgeGraph
 from networkit_spark.operators.quality import (
@@ -282,3 +283,31 @@ def test_pagerank_nibble_recovers_planted_block(spark):
     ppr = {r["node"]: r["ppr"] for r in personalized_pagerank(g, [0]).collect()}
     assert abs(sum(ppr.values()) - 1.0) < 1e-6
     assert ppr[0] > ppr[9]
+
+
+def test_approximate_pagerank_support_bound(spark):
+    """ACL locality: the push-PPR support stays ≤ 1/(ε·α) regardless of
+    graph size — the property that makes PageRankNibble local at 100 TB.
+    Two RMAT-ish graphs 4× apart in size, same (ε, α): support must not
+    grow with n, and total mass p+r is conserved at 1."""
+    from networkit_spark.operators.generators import rmat
+    from networkit_spark.operators.scd import approximate_pagerank
+
+    alpha, eps = 0.15, 1e-3
+    cap = 1.0 / (eps * alpha)
+    supports = []
+    for scale in (8, 10):
+        g = rmat(spark, scale=scale, edge_factor=4, seed=3)
+        seed_node = g.vertices().agg(F.min("id")).collect()[0][0]
+        p = approximate_pagerank(g, [int(seed_node)], alpha=alpha, eps=eps)
+        supports.append(p.count())
+    assert all(s <= cap for s in supports)
+    # support is a function of (eps, alpha), not n: the 4×-larger graph
+    # may not blow the support up
+    assert supports[1] <= cap
+
+    # mass conservation on a small graph where pushes drain fully
+    ed = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    g2 = EdgeGraph.from_edges(edges_df(spark, ed))
+    p2 = approximate_pagerank(g2, [0], alpha=alpha, eps=1e-8, max_iter=400)
+    assert abs(sum(r["ppr"] for r in p2.collect()) - 1.0) < 1e-4
