@@ -9,36 +9,71 @@ per vertex v, exactly the maximal cliques whose order-minimal member is
 v: Bron–Kerbosch with pivoting on R={v}, P = later neighbors,
 X = earlier neighbors, inside the subgraph induced on N(v).
 
-Spark shape: the per-vertex induced ego-net is ONE wedge join — the
-(v, a, b) triangle incidences, the same table the triangle/egosplit
-operators build — grouped by v into an ``applyInPandas`` task that runs
-the O(3^{d/3}) local recursion in numpy sets.  Σ task input = 3·#triangles
-rows, and the per-task candidate set is bounded by the vertex's degree
-(forward part by core number), so there is no single-task blowup beyond
-what the reference itself admits on a hub.
+Spark shape: ego edges come from the degree-ordered TRIANGLE LIST (the
+same two-equi-join plan as ``triangles.py``, oriented by the (core, id)
+rank), never from an N(v)×N(v) wedge join — so the intermediate is
+bounded by Σ forward-degree² (core-bounded), not Σ degree² (hub-
+quadratic).  Each rank-ordered triangle (x, y, z) contributes exactly
+TWO ego rows: a P–P edge (y, z) to ego x and an X–P edge (x, z) to ego
+y; the X–X edge (x, y) at ego z is dropped because Bron–Kerbosch never
+consults adjacency BETWEEN two X members (X only shrinks via
+intersection with the adjacency of a chosen P vertex, and the pivot
+score is |adj ∩ P|) — the Eppstein–Löffler–Strash subgraph trimming.
+A hub of degree D therefore receives O(D + D·core) rows, linear in D,
+and its P set is core-bounded: no single-task blowup.  Σ task input =
+2m + 2·#triangles rows.  The local listing is an ITERATIVE (explicit
+stack) BK with greedy pivoting — clique depth is not bounded by the
+Python recursion limit.
 """
 
 from __future__ import annotations
+
+import sys
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import EdgeGraph
 
+# The BK closure crosses the driver→executor boundary and calls the
+# module-level _bron_kerbosch_pivot; pickle the module by value so
+# executors don't need the package on PYTHONPATH (superstep.py:46).
+try:  # pragma: no cover - depends on pyspark internals
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 
 def _bron_kerbosch_pivot(adj, R, P, X, out):
-    """Classic BK with greedy pivoting over python sets (per-task local
-    recursion; original implementation against the published algorithm,
-    not the reference's)."""
+    """Classic BK with greedy pivoting over python sets — ITERATIVE with
+    an explicit frame stack, so clique depth is not limited by the
+    Python recursion limit (original implementation against the
+    published algorithm, not the reference's)."""
     if not P and not X:
         out.append(sorted(R))
         return
-    pivot = max(P | X, key=lambda w: len(adj.get(w, frozenset()) & P))
-    for v in list(P - adj.get(pivot, frozenset())):
+
+    def _cands(P, X):
+        pivot = max(P | X, key=lambda w: len(adj.get(w, frozenset()) & P))
+        return list(P - adj.get(pivot, frozenset()))
+
+    stack = [(R, P, X, _cands(P, X))]
+    while stack:
+        fR, fP, fX, cand = stack[-1]
+        if not cand:
+            stack.pop()
+            continue
+        v = cand.pop()
         nv = adj.get(v, frozenset())
-        _bron_kerbosch_pivot(adj, R | {v}, P & nv, X & nv, out)
-        P.discard(v)
-        X.add(v)
+        cR, cP, cX = fR | {v}, fP & nv, fX & nv
+        fP.discard(v)
+        fX.add(v)
+        if not cP and not cX:
+            out.append(sorted(cR))
+        else:
+            stack.append((cR, cP, cX, _cands(cP, cX)))
 
 
 def maximal_cliques(graph: EdgeGraph, min_size: int = 1) -> DataFrame:
@@ -73,15 +108,37 @@ def maximal_cliques(graph: EdgeGraph, min_size: int = 1) -> DataFrame:
         (F.col("rd") > F.col("rs")).alias("later"),
         F.lit(None).cast("long").alias("b"),
     )
-    # ego edges: (v, a, b) with a, b ∈ N(v) and (a, b) ∈ E — one wedge
-    # join against the edge table (triangle incidences)
-    na = ann.select(F.col("src").alias("v"), F.col("dst").alias("a"))
-    nb = ann.select(F.col("src").alias("v"), F.col("dst").alias("b"))
-    ego_edges = (
-        na.join(nb, "v")
-        .where(F.col("a") < F.col("b"))
-        .join(e.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_semi")
-        .select("v", "a", F.lit(None).cast("boolean").alias("later"), "b")
+    # ego edges from the degree-ordered TRIANGLE LIST (never an
+    # N(v)×N(v) wedge join): orient lo→hi by rank, wedge-join on the
+    # low corner (Σ forward-deg², core-bounded), close on the third
+    # edge — every triangle found once as (x, y, z), rk x < y < z.
+    o = ann.where(F.col("rs") < F.col("rd")).persist()
+    w1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"), F.col("rd").alias("ry"))
+    w2 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"), F.col("rd").alias("rz"))
+    tri = (
+        w1.join(w2, "x")
+        .where(F.col("ry") < F.col("rz"))
+        .join(
+            o.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+            ["y", "z"],
+            "left_semi",
+        )
+    )
+    # Two ego rows per triangle: P–P at the min corner, X–P at the mid
+    # corner.  The X–X row at the max corner is intentionally dropped —
+    # BK never consults adjacency between two X members (see module doc).
+    ego_edges = tri.select(
+        F.col("x").alias("v"),
+        F.col("y").alias("a"),
+        F.lit(None).cast("boolean").alias("later"),
+        F.col("z").alias("b"),
+    ).unionByName(
+        tri.select(
+            F.col("y").alias("v"),
+            F.col("x").alias("a"),
+            F.lit(None).cast("boolean").alias("later"),
+            F.col("z").alias("b"),
+        )
     )
     rows = ego_nbrs.unionByName(ego_edges)
 

@@ -7,11 +7,10 @@ pyx:239-252); this engine derives every random choice from
 ``xxhash64(seed, index)`` — identical output at any parallelism, any
 scale factor, resumable for free.
 
-- ``erdos_renyi(n, p)``: enumerate candidate pairs when n is small;
-  G(n, m)-style hash-sampling for large n (constant memory per task).
-- ``chung_lu(weights)``: expected-degree model — edge (u,v) kept iff
-  ``hash_uniform(u,v) < w_u·w_v/Σw`` (pair enumeration; the at-scale
-  variant buckets by weight and samples per bucket pair).
+- ``erdos_renyi(n, p)``: Batagelj–Brandes geometric skips over fixed
+  blocks of the pair-index space (O(p·block) per task, any n).
+- ``chung_lu(weights)``: expected-degree model — edge (u,v) kept with
+  prob ``min(w_u·w_v/Σw, 1)`` via the Miller–Hagberg skip walk.
 - ``watts_strogatz(n, k, beta)``: ring lattice + hash-decided rewiring.
 - ``rmat(scale, edge_factor, a, b, c, d)``: recursive quadrant descent,
   one hash bit-pair per level — the standard Graph500 skew generator,
@@ -34,30 +33,135 @@ def _uniform(seed: int, *cols) -> "F.Column":
 
 
 def erdos_renyi(spark: SparkSession, n: int, p: float, seed: int = 42) -> EdgeGraph:
-    """G(n, p) — undirected, no self-loops; candidate-pair enumeration
-    (suitable for n up to ~1e4; hash-sample G(n, m) beyond)."""
-    pairs = (
-        spark.range(n)
-        .select(F.col("id").alias("src"))
-        .crossJoin(spark.range(n).select(F.col("id").alias("dst")))
-        .where(F.col("src") < F.col("dst"))
+    """G(n, p) — undirected, no self-loops — via Batagelj–Brandes
+    geometric skips over the linearized pair-index space [0, C(n,2)).
+
+    The index space is cut into FIXED-size blocks (independent of
+    parallelism); each block restarts the Bernoulli(p) process with a
+    counter-based Philox RNG keyed (seed, block) — memorylessness makes
+    the restart exact, so the union over blocks is a true G(n, p)
+    sample, identical at any core count.  Work and memory per task are
+    O(p·block) — no candidate-pair enumeration, no n ≤ 1e4 limit (the
+    reference's per-thread skip sampler: ``cpp/generators/
+    ErdosRenyiEnumerator.h``).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    total = n * (n - 1) // 2
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
     )
-    e = pairs.where(_uniform(seed, "src", "dst") < p).withColumn("weight", F.lit(1.0))
+    if p <= 0.0 or total == 0:
+        e = spark.createDataFrame([], "src long, dst long, weight double")
+        return EdgeGraph(e, directed=False, weighted=False)
+    block = 1 << 22
+    nblocks = (total + block - 1) // block
+
+    def gen(it):
+        for pdf in it:
+            for b in pdf["id"].to_numpy(np.int64):
+                lo, hi = int(b) * block, min((int(b) + 1) * block, total)
+                if p >= 1.0:
+                    t = np.arange(lo, hi, dtype=np.int64)
+                else:
+                    rng = np.random.Generator(
+                        np.random.Philox(key=np.array([seed, b], dtype=np.uint64))
+                    )
+                    est = int((hi - lo) * p * 1.25) + 32
+                    pos, chunks = lo - 1, []
+                    while True:
+                        g = rng.geometric(p, size=est).astype(np.int64)
+                        c = np.cumsum(g) + pos
+                        chunks.append(c[c < hi])
+                        if len(chunks[-1]) < len(g):
+                            break
+                        pos = int(c[-1])
+                    t = np.concatenate(chunks)
+                if not len(t):
+                    continue
+                # invert the pair index: t = C(u) + (v - u - 1) with
+                # C(u) = u·n − u(u+1)/2; float solve + integer correction
+                u = (
+                    ((2.0 * n - 1.0) - np.sqrt((2.0 * n - 1.0) ** 2 - 8.0 * t)) // 2.0
+                ).astype(np.int64)
+                for _ in range(3):
+                    cu = u * n - u * (u + 1) // 2
+                    u = np.where(cu > t, u - 1, u)
+                    nxt = (u + 1) * n - (u + 1) * (u + 2) // 2
+                    u = np.where(nxt <= t, u + 1, u)
+                cu = u * n - u * (u + 1) // 2
+                yield pd.DataFrame({"src": u, "dst": u + 1 + (t - cu)})
+
+    e = spark.range(nblocks).mapInPandas(gen, schema).withColumn("weight", F.lit(1.0))
     return EdgeGraph(e, directed=False, weighted=False)
 
 
 def chung_lu(spark: SparkSession, weights: list[float], seed: int = 42) -> EdgeGraph:
-    """Expected-degree (Chung-Lu) model from a weight sequence."""
+    """Expected-degree (Chung-Lu) model — edge (u,v) kept with
+    probability ``min(w_u·w_v/Σw, 1)`` — sampled with the
+    Miller–Hagberg skip walk (no pair enumeration).
+
+    Nodes are sorted by weight descending; for each source i the walk
+    over j > i skips Geom(q) steps under the current upper bound
+    q = min(w_i·w_j₀/Σw, 1) and thins to the exact p_ij by rejection —
+    expected work per source is O(E[deg_i] + #bound-updates), so the
+    former O(n²) crossJoin limit is gone.  Sources fan out across
+    tasks; each task carries the sorted weight vector (the signature
+    takes a driver-side list, so n is driver-bounded by construction —
+    documented).  Randomness is a per-source counter-based Philox keyed
+    (seed, i): identical output at any parallelism.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
     s = float(sum(weights))
-    wdf = spark.createDataFrame(
-        [(i, float(w)) for i, w in enumerate(weights)], "id long, w double"
+    n = len(weights)
+    order = sorted(range(n), key=lambda i: (-weights[i], i))
+    w_sorted = np.array([float(weights[i]) for i in order])
+    ids = np.array(order, dtype=np.int64)
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
     )
-    a = wdf.select(F.col("id").alias("src"), F.col("w").alias("ws"))
-    b = wdf.select(F.col("id").alias("dst"), F.col("w").alias("wd"))
-    pairs = a.crossJoin(b).where(F.col("src") < F.col("dst"))
-    e = pairs.where(
-        _uniform(seed, "src", "dst") < F.least(F.col("ws") * F.col("wd") / s, F.lit(1.0))
-    ).select("src", "dst", F.lit(1.0).alias("weight"))
+
+    def gen(it):
+        for pdf in it:
+            out_s, out_d = [], []
+            for i in pdf["id"].to_numpy(np.int64):
+                i = int(i)
+                rng = np.random.Generator(
+                    np.random.Philox(key=np.array([seed, i], dtype=np.uint64))
+                )
+                j = i + 1
+                if j >= n:
+                    continue
+                p = min(w_sorted[i] * w_sorted[j] / s, 1.0)
+                while j < n and p > 0.0:
+                    if p < 1.0:
+                        r = rng.random()
+                        j += int(np.log(max(r, 1e-300)) // np.log(1.0 - p))
+                    if j < n:
+                        q = min(w_sorted[i] * w_sorted[j] / s, 1.0)
+                        if rng.random() < q / p:
+                            out_s.append(ids[i])
+                            out_d.append(ids[j])
+                        p = q
+                        j += 1
+            yield pd.DataFrame(
+                {"src": np.array(out_s, np.int64), "dst": np.array(out_d, np.int64)}
+            )
+
+    e = (
+        spark.range(n)
+        .mapInPandas(gen, schema)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
     return EdgeGraph(e, directed=False, weighted=False)
 
 
@@ -501,3 +605,243 @@ def dynamic_dorogovtsev_mendes_events(spark, steps: int, seed: int = 42):
     return spark.createDataFrame(
         rows, "batch long, kind string, u long, v long, w double"
     )
+
+
+def is_sequence_realizable(sequence: list[int]) -> bool:
+    """Erdős–Gallai test (``cpp/generators/
+    StaticDegreeSequenceGenerator.cpp:25-72``): even sum, every degree
+    < n, and for each prefix k: Σ_{i≤k} d_i ≤ k(k−1) + Σ_{i>k}
+    min(d_i, k).  Vectorized O(n log n) (the reference's check is the
+    same inequality evaluated quadratically)."""
+    import numpy as np
+
+    d = np.sort(np.asarray(sequence, dtype=np.int64))[::-1]
+    n = len(d)
+    if n == 0:
+        return True
+    if d[0] >= n or d[-1] < 0 or int(d.sum()) % 2 != 0:
+        return False
+    pref = np.cumsum(d)
+    asc = d[::-1]  # ascending view for searchsorted
+    asc_pref = np.cumsum(asc)
+    for k in range(1, n + 1):
+        # tail Σ_{i>k} min(d_i, k): elements ≥ k contribute k each,
+        # the rest contribute themselves (tail of the DESC order =
+        # prefix of the ASC order)
+        tail_len = n - k
+        if tail_len:
+            cut = np.searchsorted(asc[:tail_len], k, side="left")
+            small = int(asc_pref[cut - 1]) if cut else 0
+            tail = small + (tail_len - cut) * k
+        else:
+            tail = 0
+        if int(pref[k - 1]) > k * (k - 1) + tail:
+            return False
+    return True
+
+
+def havel_hakimi(
+    spark: SparkSession, sequence: list[int], ignore_if_realizable: bool = False
+) -> EdgeGraph:
+    """Havel–Hakimi degree-sequence realizer
+    (``cpp/generators/HavelHakimiGenerator.{h,cpp}``): repeatedly
+    connect the node of largest remaining deficit to the next-largest
+    ones; if the sequence is graphical the realized degrees equal it
+    EXACTLY.  ``ignore_if_realizable=True`` mirrors the reference flag:
+    generate anyway, some nodes may end short.
+
+    The construction is inherently sequential (the reference's bucket
+    walk, ``HavelHakimiGenerator.cpp:22-120``); it runs driver-side
+    over a heap in O(m log n) — degree sequences are metadata-scale
+    inputs (the realizer pairs with ``powerlaw_degree_sequence``), the
+    realized EDGE TABLE is what gets distributed."""
+    import heapq
+
+    if not is_sequence_realizable(sequence) and not ignore_if_realizable:
+        raise ValueError("degree sequence is not realizable (Erdős–Gallai)")
+    heap = [(-int(d), v) for v, d in enumerate(sequence) if d > 0]
+    heapq.heapify(heap)
+    edges = []
+    while heap:
+        negd, v = heapq.heappop(heap)
+        deficit = -negd
+        taken = []
+        while deficit and heap:
+            nd, u = heapq.heappop(heap)
+            edges.append((v, u) if v < u else (u, v))
+            deficit -= 1
+            if nd + 1 < 0:
+                taken.append((nd + 1, u))
+        for item in taken:
+            heapq.heappush(heap, item)
+        # deficit > 0 here ⇒ not realizable; reachable only with the flag
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges] or [], "src long, dst long, weight double"
+    )
+    return EdgeGraph(e, directed=False, weighted=False)
+
+
+def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> EdgeGraph:
+    """Ring lattice: node i → (i+j) mod n for j = 1..k
+    (``cpp/generators/RegularRingLatticeGenerator.cpp:12-29``, incl.
+    the reference's clamp k ← n/2 − 1 when k would wrap)."""
+    if k >= n // 2 - 1 and n >= 4:
+        k = n // 2 - 1
+    k = max(k, 0)
+    ring = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("off"),
+        )
+        .select("src", F.pmod(F.col("src") + F.col("off"), F.lit(n)).alias("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    return EdgeGraph(
+        canonicalize(ring, weighted_dedup="first"), directed=False, weighted=False
+    )
+
+
+def mocnik_points(spark: SparkSession, dim: int, n: int, seed: int = 42):
+    """The Mocnik model's node positions: n points uniform in the ball
+    B_{.5}(.5,…,.5) ⊂ [0,1)^dim, rejection-sampled from splitmix64
+    (seed, id, trial, coord) — deterministic at any parallelism.
+    Public so tests can oracle-check the edge rule on the SAME points.
+    Columns: (id, x0 … x{dim-1})."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    pos_schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(f"x{j}", T.DoubleType()) for j in range(dim)]
+    )
+
+    def gen_points(it):
+        M = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        def mix(x):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & M
+            x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & M
+            x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & M
+            return x ^ (x >> np.uint64(31))
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            out = np.empty((len(ids), dim))
+            done = np.zeros(len(ids), dtype=bool)
+            for t in range(64):
+                key = mix(
+                    ids.astype(np.uint64)
+                    + np.uint64(seed) * np.uint64(0x9E3779B1)
+                    + np.uint64(t) * np.uint64(0xC2B2AE35)
+                )
+                c = np.empty((len(ids), dim))
+                for j in range(dim):
+                    key = mix(key + np.uint64(j + 1))
+                    c[:, j] = (key >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+                inside = ((c - 0.5) ** 2).sum(axis=1) < 0.25
+                take = inside & ~done
+                out[take] = c[take]
+                done |= inside
+                if done.all():
+                    break
+            # P(all 64 trials outside) < 1e-8 even at dim 4; fall back
+            # to the ball center for the (never-seen) residue
+            out[~done] = 0.5
+            yield pd.DataFrame(
+                {"id": ids, **{f"x{j}": out[:, j] for j in range(dim)}}
+            )
+
+    return spark.range(n).mapInPandas(gen_points, pos_schema)
+
+
+def mocnik(
+    spark: SparkSession, dim: int, n: int, k: float, seed: int = 42
+) -> EdgeGraph:
+    """Mocnik spatial-network model (``cpp/generators/
+    MocnikGeneratorBasic.cpp:42-93``): n uniform points in the ball
+    B_{.5}(.5,…,.5) ⊂ [0,1)^dim; DIRECTED edge i→j iff
+    dist(i,j) ≤ k·distMin(i), distMin(i) = min_j dist(i,j).
+
+    Spark shape (the improved ``MocnikGenerator``'s grid, not the
+    basic O(n²) scan): points land in grid cells; nearest-neighbor
+    distances come from a 3^dim cell-neighborhood self-join with the
+    cell size DOUBLING for still-unresolved nodes (a found neighbor at
+    distance ≤ cell side is provably the global minimum), then the
+    edge pass re-joins at cell size max(k·distMin) and filters by each
+    node's own radius.  Positions are rejection-sampled from
+    xxhash64(seed, id, trial, coord) — deterministic at any
+    parallelism."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    assert dim > 0 and n > 0 and k > 1
+
+    pts = mocnik_points(spark, dim, n, seed).persist()
+    xcols = [f"x{j}" for j in range(dim)]
+
+    def cell_join(points, targets, cell: float):
+        """targets ⋈ points over the 3^dim cell neighborhood of each
+        target, with pairwise distance attached (self rows excluded)."""
+        offs = spark.range(3 ** dim).select(
+            *[
+                (F.floor(F.col("id") / (3 ** j)) % 3 - 1).alias(f"o{j}")
+                for j in range(dim)
+            ]
+        )
+        t = targets.select(
+            F.col("id").alias("i"),
+            *[F.col(c).alias(f"t{c}") for c in xcols],
+            *[F.floor(F.col(c) / cell).alias(f"tc{j}") for j, c in enumerate(xcols)],
+        ).crossJoin(F.broadcast(offs))
+        p = points.select(
+            F.col("id").alias("j"),
+            *xcols,
+            *[F.floor(F.col(c) / cell).alias(f"pc{j}") for j, c in enumerate(xcols)],
+        )
+        cond = [t[f"tc{j}"] + t[f"o{j}"] == p[f"pc{j}"] for j in range(dim)]
+        d2 = sum(
+            (F.col(f"t{c}") - F.col(c)) * (F.col(f"t{c}") - F.col(c)) for c in xcols
+        )
+        return (
+            t.join(p, cond)
+            .where(F.col("i") != F.col("j"))
+            .select("i", "j", F.sqrt(d2).alias("dist"))
+        )
+
+    # phase 1: nearest-neighbor distance, cell size doubling until found
+    cell = (1.0 / n) ** (1.0 / dim)
+    unresolved = pts
+    dmin_parts = []
+    for _ in range(64):
+        found = (
+            cell_join(pts, unresolved, cell)
+            .groupBy("i")
+            .agg(F.min("dist").alias("dmin"))
+        )
+        ok = found.where(F.col("dmin") <= cell).persist()
+        dmin_parts.append(ok)
+        unresolved = unresolved.join(
+            ok.select(F.col("i").alias("id")), "id", "left_anti"
+        ).persist()
+        if unresolved.isEmpty():
+            break
+        cell *= 2.0
+    from functools import reduce
+
+    dmin = reduce(lambda a, b: a.unionByName(b), dmin_parts)
+
+    # phase 2: edges within each node's own radius k·dmin
+    radii = pts.join(dmin.withColumnRenamed("i", "id"), "id").select(
+        "id", *xcols, (F.lit(float(k)) * F.col("dmin")).alias("reach")
+    )
+    gcell = radii.agg(F.max("reach")).collect()[0][0]
+    e = (
+        cell_join(pts, radii.select("id", *xcols), gcell)
+        .join(radii.select(F.col("id").alias("i"), "reach"), "i")
+        .where(F.col("dist") <= F.col("reach"))
+        .select(F.col("i").alias("src"), F.col("j").alias("dst"), F.lit(1.0).alias("weight"))
+    )
+    return EdgeGraph(e, directed=True, weighted=False)

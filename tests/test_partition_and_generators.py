@@ -189,3 +189,91 @@ def test_hyperbolic_powerlaw_and_clustering(spark):
     elig = lcc.join(deg.where(F.col("deg") >= 2), "node")
     mean_cc = elig.agg(F.avg("lcc")).collect()[0][0]
     assert mean_cc >= 0.6
+
+
+def test_erdos_renyi_large_n_no_crossjoin(spark):
+    """The skip sampler must handle n where pair enumeration (C(n,2) ≈
+    5·10¹¹ candidate rows) is impossible — seconds, not hours."""
+    g = erdos_renyi(spark, 1_000_000, 2e-9, seed=7)
+    m = g.num_edges()
+    # E[m] = C(1e6, 2)·2e-9 ≈ 1000; Poisson 6σ window
+    assert 800 <= m <= 1200
+    stats = g.edges.agg(
+        F.min("src"), F.max("dst"), F.sum((F.col("src") >= F.col("dst")).cast("int"))
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] < 1_000_000 and stats[2] == 0
+
+
+def test_havel_hakimi_realizes_sequence_exactly(spark):
+    from networkit_spark.operators.generators import (
+        havel_hakimi,
+        is_sequence_realizable,
+    )
+
+    seq = [3, 3, 2, 2, 2, 2, 1, 1]  # graphical (even sum, Erdős–Gallai)
+    assert is_sequence_realizable(seq)
+    g = havel_hakimi(spark, seq)
+    deg = {r["node"]: r["deg"] for r in g.degrees().collect()}
+    assert [deg.get(i, 0) for i in range(len(seq))] == seq
+    # no self loops, no parallel edges
+    e = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    assert all(a != b for a, b in e) and len(set(e)) == len(e)
+
+    assert not is_sequence_realizable([3, 1])  # odd sum
+    assert not is_sequence_realizable([5, 1, 1, 1, 1])  # fails Erdős–Gallai? n=5, d0=5 >= n
+    assert not is_sequence_realizable([4, 4, 4, 1, 1])  # EG inequality fails
+    with pytest.raises(ValueError):
+        havel_hakimi(spark, [3, 1])
+    # powerlaw pairing: realizer consumes the sequence generator's output
+    from networkit_spark.operators.generators import powerlaw_degree_sequence
+
+    pl = [r["deg"] for r in powerlaw_degree_sequence(spark, 60, seed=3).collect()]
+    if sum(pl) % 2:
+        pl[0] += 1
+    g2 = havel_hakimi(spark, pl, ignore_if_realizable=True)
+    realized = {r["node"]: r["deg"] for r in g2.degrees().collect()}
+    # with the ignore flag nodes may fall short but never exceed
+    assert all(realized.get(i, 0) <= d for i, d in enumerate(pl))
+
+
+def test_regular_ring_lattice(spark):
+    from networkit_spark.operators.generators import regular_ring_lattice
+
+    g = regular_ring_lattice(spark, 12, 2)
+    assert g.num_edges() == 24  # n·k
+    deg = {r["node"]: r["deg"] for r in g.degrees().collect()}
+    assert all(deg[i] == 4 for i in range(12))
+    # reference clamp: k ≥ n/2 − 1 collapses to n/2 − 1
+    g2 = regular_ring_lattice(spark, 10, 7)
+    assert g2.num_edges() == 10 * 4
+
+
+def test_mocnik_matches_bruteforce_oracle(spark):
+    """Grid-join edges == the reference's O(n²) rule evaluated in numpy
+    on the SAME points (MocnikGeneratorBasic.cpp:69-87)."""
+    import numpy as np
+
+    from networkit_spark.operators.generators import mocnik
+
+    from networkit_spark.operators.generators import mocnik_points
+
+    g = mocnik(spark, dim=2, n=120, k=2.0, seed=5)
+    assert g.directed
+    got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    # brute-force the reference rule on the SAME deterministic points
+    pts = mocnik_points(spark, 2, 120, seed=5).orderBy("id").collect()
+    P = np.array([[r["x0"], r["x1"]] for r in pts])
+    D = np.sqrt(((P[:, None, :] - P[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(D, np.inf)
+    dmin = D.min(axis=1)
+    want = {
+        (i, j)
+        for i in range(120)
+        for j in range(120)
+        if i != j and D[i, j] <= 2.0 * dmin[i]
+    }
+    assert got == want
+    # determinism + out-degree ≥ 1 (nearest neighbor always qualifies)
+    g2 = mocnik(spark, dim=2, n=120, k=2.0, seed=5)
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == got
+    assert {s for s, _ in got} == set(range(120))

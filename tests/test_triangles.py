@@ -152,3 +152,30 @@ def test_maximal_cliques_brute_force_oracle(spark):
     # every clique appears exactly once (no duplicate emission)
     all_rows = maximal_cliques(g).collect()
     assert len(all_rows) == len(got)
+
+
+def test_maximal_cliques_hub_star(spark):
+    """Hub of degree 200 with an attached K5: the triangle-based ego
+    rows keep the hub task LINEAR in degree (no N(v)×N(v) wedge join),
+    and the output is still exact."""
+    from networkit_spark.operators.cliques import maximal_cliques
+
+    ed = [(0, i) for i in range(1, 201)]
+    ed += [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]  # K5 on 1..5
+    g = EdgeGraph.from_edges(edges_df(spark, ed))
+    got = {tuple(r["nodes"]) for r in maximal_cliques(g).collect()}
+    want = {tuple(range(0, 6))} | {(0, i) for i in range(6, 201)}
+    assert got == want
+
+
+def test_bron_kerbosch_iterative_depth():
+    """Clique depth beyond the Python recursion limit: K1200 — the old
+    recursive BK would RecursionError, the explicit stack must not."""
+    from networkit_spark.operators.cliques import _bron_kerbosch_pivot
+
+    n = 1200  # > the CPython default recursion limit of 1000
+    full = frozenset(range(n))
+    adj = {v: full - {v} for v in range(n)}
+    out = []
+    _bron_kerbosch_pivot(adj, {0}, set(range(1, n)), set(), out)
+    assert out == [list(range(n))]
