@@ -210,22 +210,32 @@ def ego_splitting(
 def cover_f1(cover: DataFrame, truth: DataFrame) -> float:
     """CoverF1Similarity (``cpp/community/CoverF1Similarity``-style):
     average best-match F1 of detected communities against ground truth.
-    Both inputs: (node, label)."""
-    det = cover.groupBy("label").agg(F.collect_set("node").alias("members"))
-    tru = truth.groupBy("label").agg(F.collect_set("node").alias("members"))
-    d = [set(r["members"]) for r in det.collect()]
-    t = [set(r["members"]) for r in tru.collect()]
-    if not d or not t:
-        return 0.0
+    Both inputs: (node, label).
 
-    def best_f1(c, others):
-        best = 0.0
-        for o in others:
-            inter = len(c & o)
-            if inter == 0:
-                continue
-            p, r = inter / len(c), inter / len(o)
-            best = max(best, 2 * p * r / (p + r))
-        return best
-
-    return sum(best_f1(c, t) for c in d) / len(d)
+    Fully distributed: with p = i/|c| and r = i/|o|, the harmonic mean
+    2pr/(p+r) simplifies to 2i/(|c|+|o|), so every pairwise F1 is a
+    node-join + per-label counts — no community is ever collected to
+    the driver (communities can be graph-sized at 100 TB)."""
+    det = cover.select("node", "label").distinct()
+    tru = truth.select("node", "label").distinct()
+    det_sz = det.groupBy(F.col("label").alias("ld")).agg(F.count("*").alias("dsz"))
+    tru_sz = tru.groupBy(F.col("label").alias("lt")).agg(F.count("*").alias("tsz"))
+    inter = (
+        det.select(F.col("label").alias("ld"), "node")
+        .join(tru.select(F.col("label").alias("lt"), "node"), "node")
+        .groupBy("ld", "lt")
+        .agg(F.count("*").alias("i"))
+    )
+    best = (
+        inter.join(det_sz, "ld")
+        .join(tru_sz, "lt")
+        .withColumn("f1", 2.0 * F.col("i") / (F.col("dsz") + F.col("tsz")))
+        .groupBy("ld")
+        .agg(F.max("f1").alias("best"))
+    )
+    row = (
+        det_sz.join(best, "ld", "left")
+        .agg(F.avg(F.coalesce(F.col("best"), F.lit(0.0))))
+        .collect()[0][0]
+    )
+    return float(row) if row is not None else 0.0

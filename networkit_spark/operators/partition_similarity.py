@@ -96,22 +96,38 @@ def jaccard_measure(a: DataFrame, b: DataFrame) -> float:
 
 def nmi(a: DataFrame, b: DataFrame) -> float:
     """NMIDistance similarity: mutual information normalized by
-    max(H(A), H(B)) (the reference's normalization)."""
-    conf = _confusion(a, b).collect()
-    n = sum(r["nij"] for r in conf)
-    if n == 0:
+    max(H(A), H(B)) (the reference's normalization).
+
+    Fully distributed: all three Σ terms (MI, H(A), H(B)) are
+    aggregations over the confusion matrix joined back to its own
+    marginals — nothing driver-sized is collected, so near-singleton
+    partitions (confusion ≈ n rows) are fine at any scale."""
+    conf = _confusion(a, b).persist()
+    n = conf.agg(F.sum("nij")).collect()[0][0]
+    if not n:
+        conf.unpersist()
         return 1.0
-    pa: dict = {}
-    pb: dict = {}
-    for r in conf:
-        pa[r["la"]] = pa.get(r["la"], 0) + r["nij"]
-        pb[r["lb"]] = pb.get(r["lb"], 0) + r["nij"]
-    mi = 0.0
-    for r in conf:
-        pij = r["nij"] / n
-        mi += pij * math.log(pij / ((pa[r["la"]] / n) * (pb[r["lb"]] / n)))
-    ha = -sum((c / n) * math.log(c / n) for c in pa.values())
-    hb = -sum((c / n) * math.log(c / n) for c in pb.values())
+    ma = conf.groupBy("la").agg(F.sum("nij").alias("ni"))
+    mb = conf.groupBy("lb").agg(F.sum("nij").alias("nj"))
+    mi = (
+        conf.join(ma, "la")
+        .join(mb, "lb")
+        .agg(
+            F.sum(
+                (F.col("nij") / n)
+                * F.log((F.col("nij") * float(n)) / (F.col("ni") * F.col("nj")))
+            )
+        )
+        .collect()[0][0]
+        or 0.0
+    )
+    ha = -(
+        ma.agg(F.sum((F.col("ni") / n) * F.log(F.col("ni") / n))).collect()[0][0] or 0.0
+    )
+    hb = -(
+        mb.agg(F.sum((F.col("nj") / n) * F.log(F.col("nj") / n))).collect()[0][0] or 0.0
+    )
+    conf.unpersist()
     mx = max(ha, hb)
     if mx == 0:
         return 1.0
