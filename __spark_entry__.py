@@ -118,28 +118,13 @@ def _q_components(spark, sf_dir):
     return connected_components(g, impl="sql")
 
 
-def _q_component_sizes(spark, sf_dir):
-    g = tpch_link_graph(spark, sf_dir)
-    return component_sizes(connected_components(g, impl="sql"))
-
-
 def _q_pagerank(spark, sf_dir):
-    g = tpch_link_graph(spark, sf_dir)
-    pr = pagerank(g, damp=0.85, tol=0.0, max_iter=15, impl="sql")
-    return pr.select("node", F.round("rank", 6).alias("rank"))
-
-
-def _q_pagerank_csr(spark, sf_dir):
-    """North-rule path (CSR supersteps) at fixed iterations — shares the
-    recursive-CTE oracle with the sql path (same fixpoint prefix)."""
+    """North-rule path (CSR supersteps) at fixed iterations.  The sql
+    impl shares the same recursive-CTE fixpoint and is pytest-verified
+    equal (tests/test_pagerank.py); one gate row covers the oracle."""
     g = tpch_link_graph(spark, sf_dir)
     pr = pagerank(g, damp=0.85, tol=0.0, max_iter=15, impl="csr")
     return pr.select("node", F.round("rank", 6).alias("rank"))
-
-
-def _q_triangle_total(spark, sf_dir):
-    g = tpch_link_graph(spark, sf_dir)
-    return tri.triangle_list(g).agg(F.count(F.lit(1)).alias("total_triangles"))
 
 
 def _q_triangle_edges(spark, sf_dir):
@@ -249,16 +234,12 @@ def _q_degree_top20(spark, sf_dir):
 # ---- documents / text -----------------------------------------------------
 
 
-def _q_token_count(spark, sf_dir):
-    return text.token_count(_docs(spark, sf_dir))
-
-
-def _q_quality(spark, sf_dir):
-    return text.quality_score(_docs(spark, sf_dir))
-
-
-def _q_lang_id(spark, sf_dir):
-    return text.lang_id(_docs(spark, sf_dir))
+def _q_text_stats(spark, sf_dir):
+    """Consolidated per-document text analysis: quality scoring (which
+    subsumes token_count's n_tokens column) + language-ID, one join on
+    doc_id.  One gate row where round 3 spent three."""
+    d = _docs(spark, sf_dir)
+    return text.quality_score(d).join(text.lang_id(d), "doc_id")
 
 
 def _q_exact_dups(spark, sf_dir):
@@ -267,10 +248,6 @@ def _q_exact_dups(spark, sf_dir):
 
 def _q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, max_df=100)
-
-
-def _q_minhash_sig(spark, sf_dir):
-    return dedup.minhash_signatures(_docs(spark, sf_dir))
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -331,8 +308,10 @@ def _q_near_dups_lsh(spark, sf_dir):
 
 
 def _q_linkpred(spark, sf_dir):
-    """Link-prediction indices over distance-2 non-edges (top candidates
-    only — full set is large; deterministic top-500 by jaccard)."""
+    """ALL link-prediction indices (CN/Jaccard/AA/RA/PA plus the
+    round-out TotalNeighbors/U/VDegree/AdjustedRand) over distance-2
+    non-edges — one candidate-set pass, deterministic top-500 by
+    jaccard.  One gate row where round 3 spent two."""
     from networkit_spark.operators.linkpred import link_prediction_scores
 
     g = tpch_link_graph(spark, sf_dir)
@@ -341,7 +320,8 @@ def _q_linkpred(spark, sf_dir):
         F.round("jaccard", 6).alias("jaccard"),
         F.round("adamic_adar", 6).alias("adamic_adar"),
         F.round("resource_alloc", 6).alias("resource_alloc"),
-        "pref_attachment",
+        "pref_attachment", "total_neighbors", "u_degree", "v_degree",
+        F.round("adjusted_rand", 6).alias("adjusted_rand"),
     )
     return _topk_ranked(s, 500, [F.desc("jaccard"), F.asc("u"), F.asc("v")])
 
@@ -439,21 +419,6 @@ def _q_quadrangles(spark, sf_dir):
     return quadrangle_score(g)
 
 
-def _q_linkpred_ext(spark, sf_dir):
-    """Round-out link-prediction indices (TotalNeighbors, U/VDegree,
-    AdjustedRand — intended set-difference semantics, see the module
-    docstring) on the same distance-2 candidate set; deterministic
-    top-500 by adjusted_rand."""
-    from networkit_spark.operators.linkpred import link_prediction_scores
-
-    g = tpch_link_graph(spark, sf_dir)
-    s = link_prediction_scores(g, only_missing=True).select(
-        "u", "v", "total_neighbors", "u_degree", "v_degree",
-        F.round("adjusted_rand", 6).alias("adjusted_rand"),
-    )
-    return _topk_ranked(s, 500, [F.desc("adjusted_rand"), F.asc("u"), F.asc("v")])
-
-
 def _q_modularity_kind(spark, sf_dir):
     """Modularity of the customer/part/supplier partition (scalar)."""
     from networkit_spark.operators.quality import modularity
@@ -505,69 +470,40 @@ def _kind_labels(g):
     )
 
 
-def _q_hub_dominance(spark, sf_dir):
-    """PartitionHubDominance per cluster of the kind partition (§2.6)."""
-    from networkit_spark.operators.quality import hub_dominance
-
-    g = tpch_link_graph(spark, sf_dir)
-    return hub_dominance(g, _kind_labels(g)).select(
-        "label", F.round("value", 6).alias("value")
-    )
-
-
-def _q_intrapartition_density(spark, sf_dir):
-    """IntrapartitionDensity per cluster of the kind partition (§2.6)."""
-    from networkit_spark.operators.quality import intrapartition_density
-
-    g = tpch_link_graph(spark, sf_dir)
-    return intrapartition_density(g, _kind_labels(g)).select(
-        "label", F.round("value", 6).alias("value")
-    )
-
-
-def _q_iic(spark, sf_dir):
-    """IsolatedInterpartitionConductance per cluster (§2.6)."""
+def _q_quality_suite(spark, sf_dir):
+    """All six §2.6 per-cluster partition-quality measures
+    (PartitionHubDominance, IntrapartitionDensity,
+    IsolatedInterpartitionConductance/Expansion, PartitionFragmentation,
+    StablePartitionNodes) over the kind partition, unioned into one
+    (measure, label, value) gate — one driver row where round 3 spent
+    six 3-row rows."""
     from networkit_spark.operators.quality import (
+        hub_dominance,
+        intrapartition_density,
         isolated_interpartition_conductance,
-    )
-
-    g = tpch_link_graph(spark, sf_dir)
-    return isolated_interpartition_conductance(g, _kind_labels(g)).select(
-        "label", F.round("value", 6).alias("value")
-    )
-
-
-def _q_iie(spark, sf_dir):
-    """IsolatedInterpartitionExpansion per cluster (§2.6)."""
-    from networkit_spark.operators.quality import (
         isolated_interpartition_expansion,
+        partition_fragmentation,
+        stable_partition_nodes,
     )
 
     g = tpch_link_graph(spark, sf_dir)
-    return isolated_interpartition_expansion(g, _kind_labels(g)).select(
-        "label", F.round("value", 6).alias("value")
-    )
-
-
-def _q_fragmentation(spark, sf_dir):
-    """PartitionFragmentation per cluster (§2.6) — the kind partition
-    straddles the graph's connected components, so values are > 0."""
-    from networkit_spark.operators.quality import partition_fragmentation
-
-    g = tpch_link_graph(spark, sf_dir)
-    return partition_fragmentation(g, _kind_labels(g)).select(
-        "label", F.round("value", 6).alias("value")
-    )
-
-
-def _q_stable_nodes(spark, sf_dir):
-    """StablePartitionNodes per cluster (§2.6)."""
-    from networkit_spark.operators.quality import stable_partition_nodes
-
-    g = tpch_link_graph(spark, sf_dir)
-    return stable_partition_nodes(g, _kind_labels(g)).select(
-        "label", F.round("value", 6).alias("value")
-    )
+    part = _kind_labels(g)
+    out = None
+    for name, fn in [
+        ("hub_dominance", hub_dominance),
+        ("intra_density", intrapartition_density),
+        ("iso_conductance", isolated_interpartition_conductance),
+        ("iso_expansion", isolated_interpartition_expansion),
+        ("fragmentation", partition_fragmentation),
+        ("stable_nodes", stable_partition_nodes),
+    ]:
+        d = fn(g, part).select(
+            F.lit(name).alias("measure"),
+            "label",
+            F.round("value", 6).alias("value"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
 def _q_mapequation(spark, sf_dir):
@@ -811,29 +747,59 @@ def _q_events_hourly(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 gates (the round-3 driver checked only the FIRST 50
+    dict entries, so the set is consolidated to fit — see COVERAGE.md).
+    The 12 gates that round 3 shipped without a driver row are listed
+    FIRST so a tighter budget still covers them."""
     return {
+        # -- round-3 casualties of the 50-entry cutoff, never/rarely
+        # -- driver-checked: first in line this round.
+        "graph_dynapsp": _q_dynapsp,
+        "graph_dyn_topharmonic": _q_dyn_topharmonic,
+        "graph_dynbfs": _q_dynbfs,
+        "graph_plm": _q_plm,
+        "graph_egosplit": _q_egosplit,
+        "graph_kcore": _q_kcore,
+        "graph_katz": _q_katz,
+        "graph_ba_degrees": _q_ba_degrees,
+        "doc_bpe_count": _q_doc_bpe_count,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "media_features": _q_media_features,
+        "events_sessions": _q_events_sessions,
+        # -- core graph pillars
         "graph_degrees": _q_degrees,
         "graph_components": _q_components,
-        "graph_component_sizes": _q_component_sizes,
         "graph_pagerank": _q_pagerank,
-        "graph_pagerank_csr": _q_pagerank_csr,
-        "graph_triangle_total": _q_triangle_total,
         "graph_triangle_edges": _q_triangle_edges,
         "graph_lcc": _q_lcc,
         "graph_plp_sweep": _q_plp_sweep,
+        "graph_bfs": _q_bfs,
+        "graph_degree_top20": _q_degree_top20,
+        # -- community / partition family
         "graph_lp_degord": _q_lp_degord,
         "graph_slpa": _q_slpa,
-        "graph_umsf": _q_umsf,
         "graph_agglomerative": _q_agglomerative,
-        "graph_prefix_jaccard": _q_prefix_jaccard,
         "graph_coarsen_kind": _q_coarsen_kind,
-        "graph_degree_top20": _q_degree_top20,
-        "doc_token_count": _q_token_count,
-        "doc_quality": _q_quality,
-        "doc_lang_id": _q_lang_id,
+        "graph_modularity_kind": _q_modularity_kind,
+        "graph_quality_suite": _q_quality_suite,
+        "graph_mapeq_score": _q_mapeq_score,
+        "graph_mapequation": _q_mapequation,
+        "graph_nibble": _q_nibble,
+        # -- per-node / per-edge scores
+        "graph_sfigality": _q_sfigality,
+        "graph_laplacian": _q_laplacian,
+        "graph_permanence": _q_permanence,
+        "graph_local_coverage": _q_local_coverage,
+        "graph_jaccard_bb": _q_jaccard_bb,
+        "graph_prefix_jaccard": _q_prefix_jaccard,
+        "graph_quadrangles": _q_quadrangles,
+        "graph_linkpred": _q_linkpred,
+        "graph_cliques": _q_cliques,
+        "graph_umsf": _q_umsf,
+        # -- documents / embeddings / events
+        "doc_text_stats": _q_text_stats,
         "doc_exact_dups": _q_exact_dups,
         "doc_ngram_jaccard": _q_ngram_jaccard,
-        "doc_minhash_sig": _q_minhash_sig,
         "doc_minhash_lsh": _q_minhash_lsh,
         "doc_simhash": _q_simhash,
         "emb_cosine_topk": _q_cosine_topk,
@@ -842,38 +808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _q_lsh_topk,
         "emb_ivf_topk": _q_ivf_topk,
         "events_hourly": _q_events_hourly,
-        "graph_linkpred": _q_linkpred,
-        "graph_linkpred_ext": _q_linkpred_ext,
-        "graph_local_coverage": _q_local_coverage,
-        "graph_quadrangles": _q_quadrangles,
-        "graph_sfigality": _q_sfigality,
-        "graph_laplacian": _q_laplacian,
-        "graph_permanence": _q_permanence,
-        "graph_nibble": _q_nibble,
-        "graph_cliques": _q_cliques,
-        "graph_modularity_kind": _q_modularity_kind,
-        "graph_hub_dominance": _q_hub_dominance,
-        "graph_intra_density": _q_intrapartition_density,
-        "graph_iso_conductance": _q_iic,
-        "graph_iso_expansion": _q_iie,
-        "graph_fragmentation": _q_fragmentation,
-        "graph_stable_nodes": _q_stable_nodes,
-        "graph_bfs": _q_bfs,
-        "graph_mapeq_score": _q_mapeq_score,
-        "graph_mapequation": _q_mapequation,
-        "graph_jaccard_bb": _q_jaccard_bb,
-        "graph_dynbfs": _q_dynbfs,
-        "graph_dynapsp": _q_dynapsp,
-        "graph_dyn_topharmonic": _q_dyn_topharmonic,
-        "graph_ba_degrees": _q_ba_degrees,
-        "graph_kcore": _q_kcore,
-        "graph_plm": _q_plm,
-        "graph_egosplit": _q_egosplit,
-        "graph_katz": _q_katz,
-        "doc_bpe_count": _q_doc_bpe_count,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "media_features": _q_media_features,
-        "events_sessions": _q_events_sessions,
     }
 
 
@@ -898,33 +832,7 @@ reach(node, label) AS (
 )
 SELECT node, MIN(label) AS label FROM reach GROUP BY node
 """,
-        "graph_component_sizes": f"""
-WITH RECURSIVE {_GRAPH_CTES},
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node WHERE r.label < s.v
-),
-lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
-SELECT label, COUNT(*) AS size FROM lab GROUP BY label
-""",
         "graph_pagerank": f"""
-WITH RECURSIVE {_GRAPH_CTES},
-deg AS (SELECT u, SUM(w) + SUM(CASE WHEN u = v THEN w ELSE 0 END) AS wdeg
-        FROM sym GROUP BY u),
-nn AS (SELECT COUNT(*) AS c FROM nodes),
-pr(iter, node, rank) AS (
-  SELECT 0, node, 1.0 / (SELECT c FROM nn) FROM nodes
-  UNION ALL
-  SELECT p.iter + 1, s.v,
-         0.85 * SUM(p.rank * s.w / d.wdeg) + 0.15 / (SELECT c FROM nn)
-  FROM pr p JOIN sym s ON s.u = p.node JOIN deg d ON d.u = p.node
-  WHERE p.iter < 15
-  GROUP BY p.iter + 1, s.v
-)
-SELECT node, ROUND(rank / SUM(rank) OVER (), 6) AS rank FROM pr WHERE iter = 15
-""",
-        "graph_pagerank_csr": f"""
 WITH RECURSIVE {_GRAPH_CTES},
 deg AS (SELECT u, SUM(w) + SUM(CASE WHEN u = v THEN w ELSE 0 END) AS wdeg
         FROM sym GROUP BY u),
@@ -953,12 +861,6 @@ kz(iter, node, score) AS (
 )
 SELECT node, ROUND(score / SQRT(SUM(score * score) OVER ()), 6) AS score
 FROM kz WHERE iter = 8
-""",
-        "graph_triangle_total": f"""
-WITH {_GRAPH_CTES},
-e AS (SELECT src, dst FROM edges)
-SELECT COUNT(*) AS total_triangles
-FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """,
         "graph_triangle_edges": f"""
 WITH {_GRAPH_CTES},
@@ -1129,11 +1031,7 @@ SELECT node, score, rnk FROM (
   SELECT node, score, ROW_NUMBER() OVER (ORDER BY score DESC, node ASC) AS rnk FROM deg
 ) WHERE rnk <= 20
 """,
-        "doc_token_count": f"""
-WITH {_TOKS}
-SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
-""",
-        "doc_quality": f"""
+        "doc_text_stats": f"""
 WITH {_TOKS},
 base AS (
   SELECT doc_id, trim(lower(text)) AS tt, t FROM documents JOIN toks USING (doc_id)
@@ -1145,21 +1043,20 @@ m AS (
          length(regexp_replace(tt, '[^.,!?;:]', '', 'g')) AS punct,
          len(list_filter(t, x -> list_contains([{stop_list}], x))) AS n_stop
   FROM base
-)
-SELECT doc_id,
-       CAST(n_chars AS BIGINT) AS n_chars,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
-       ROUND(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
-       ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
-       ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-             + (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.4
-             + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2,
-             6) AS score
-FROM m
-""",
-        "doc_lang_id": f"""
-WITH {_TOKS},
+),
+q AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+         ROUND(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+         ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+         ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+               + (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.4
+               + (1.0 - LEAST((CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 1.0)) * 0.2,
+               6) AS score
+  FROM m
+),
 markers(lang, tok) AS (VALUES {markers_values}),
 tk AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
 votes AS (
@@ -1172,8 +1069,8 @@ best AS (
     FROM votes
   ) WHERE rn = 1
 )
-SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
-FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+SELECT q.*, COALESCE(b.lang, 'und') AS pred_lang
+FROM q LEFT JOIN best b ON q.doc_id = b.doc_id
 """,
         "doc_exact_dups": """
 SELECT md5(text) AS content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
@@ -1193,13 +1090,6 @@ SELECT id_a, id_b,
        ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-""",
-        "doc_minhash_sig": f"""
-WITH {_SHINGLES},
-hs AS (SELECT UNNEST(range(0, 12)) AS h)
-SELECT doc_id, CAST(h AS BIGINT) AS h,
-       MIN(CAST(concat('0x', substr(md5(h || ':' || s), 1, 15)) AS BIGINT)) AS minhash
-FROM sh CROSS JOIN hs GROUP BY doc_id, h
 """,
         "doc_minhash_lsh": f"""
 WITH {_SHINGLES},
@@ -1319,27 +1209,51 @@ FROM events GROUP BY 1, 2
 WITH {_GRAPH_CTES},
 e AS (SELECT src, dst FROM edges),
 deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
 wed AS (
   SELECT a.v AS z, a.u AS u, b.u AS v
   FROM (SELECT v, u FROM sym) a JOIN (SELECT v, u FROM sym) b ON a.v = b.v
   WHERE a.u < b.u
 ),
 inter AS (
-  SELECT w.u, w.v, COUNT(*) AS common_neighbors,
+  SELECT w.u, w.v, COUNT(*) AS cn,
          SUM(1.0 / LN(dz.deg)) AS aa, SUM(1.0 / dz.deg) AS ra
   FROM wed w JOIN deg dz ON w.z = dz.node
   GROUP BY w.u, w.v
 ),
 scored AS (
-  SELECT i.u, i.v, i.common_neighbors,
-         ROUND(CAST(i.common_neighbors AS DOUBLE) / (du.deg + dv.deg - i.common_neighbors), 6) AS jaccard,
+  SELECT i.u, i.v, i.cn AS common_neighbors,
+         ROUND(CAST(i.cn AS DOUBLE) / (du.deg + dv.deg - i.cn), 6) AS jaccard,
          ROUND(i.aa, 6) AS adamic_adar, ROUND(i.ra, 6) AS resource_alloc,
-         CAST(du.deg * dv.deg AS BIGINT) AS pref_attachment
+         CAST(du.deg * dv.deg AS BIGINT) AS pref_attachment,
+         du.deg + dv.deg - i.cn AS total_neighbors,
+         du.deg AS u_degree, dv.deg AS v_degree,
+         ROUND(
+           CASE WHEN (CAST(i.cn AS DOUBLE) * (du.deg - i.cn)
+                     + CAST(i.cn AS DOUBLE) * (dv.deg - i.cn)
+                     + 2.0 * i.cn * (nn.n - (du.deg + dv.deg - i.cn))
+                     + CAST(du.deg - i.cn AS DOUBLE) * (du.deg - i.cn)
+                     + CAST(du.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
+                     + CAST(dv.deg - i.cn AS DOUBLE) * (dv.deg - i.cn)
+                     + CAST(dv.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))) = 0
+                THEN 0.0
+                ELSE 2.0 * (CAST(i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
+                            - CAST(du.deg - i.cn AS DOUBLE) * (dv.deg - i.cn))
+                     / (CAST(i.cn AS DOUBLE) * (du.deg - i.cn)
+                        + CAST(i.cn AS DOUBLE) * (dv.deg - i.cn)
+                        + 2.0 * i.cn * (nn.n - (du.deg + dv.deg - i.cn))
+                        + CAST(du.deg - i.cn AS DOUBLE) * (du.deg - i.cn)
+                        + CAST(du.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
+                        + CAST(dv.deg - i.cn AS DOUBLE) * (dv.deg - i.cn)
+                        + CAST(dv.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn)))
+           END, 6) AS adjusted_rand
   FROM inter i JOIN deg du ON i.u = du.node JOIN deg dv ON i.v = dv.node
+  CROSS JOIN nn
   LEFT JOIN e ON i.u = e.src AND i.v = e.dst
   WHERE e.src IS NULL
 )
-SELECT u, v, common_neighbors, jaccard, adamic_adar, resource_alloc, pref_attachment, rnk
+SELECT u, v, common_neighbors, jaccard, adamic_adar, resource_alloc, pref_attachment,
+       total_neighbors, u_degree, v_degree, adjusted_rand, rnk
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC) AS rnk FROM scored)
 WHERE rnk <= 500
 """,
@@ -1450,51 +1364,6 @@ paths AS (
 SELECT e.u AS src, e.v AS dst, CAST(COALESCE(p.q, 0) AS BIGINT) AS score
 FROM ps e LEFT JOIN paths p ON e.u = p.src AND e.v = p.dst
 """,
-        "graph_linkpred_ext": f"""
-WITH {_GRAPH_CTES},
-e AS (SELECT src, dst FROM edges),
-deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
-nn AS (SELECT COUNT(*) AS n FROM nodes),
-wed AS (
-  SELECT a.v AS z, a.u AS u, b.u AS v
-  FROM (SELECT v, u FROM sym) a JOIN (SELECT v, u FROM sym) b ON a.v = b.v
-  WHERE a.u < b.u
-),
-inter AS (
-  SELECT w.u, w.v, COUNT(*) AS cn FROM wed w GROUP BY w.u, w.v
-),
-scored AS (
-  SELECT i.u, i.v,
-         du.deg + dv.deg - i.cn AS total_neighbors,
-         du.deg AS u_degree, dv.deg AS v_degree,
-         ROUND(
-           CASE WHEN (CAST(i.cn AS DOUBLE) * (du.deg - i.cn)
-                     + CAST(i.cn AS DOUBLE) * (dv.deg - i.cn)
-                     + 2.0 * i.cn * (nn.n - (du.deg + dv.deg - i.cn))
-                     + CAST(du.deg - i.cn AS DOUBLE) * (du.deg - i.cn)
-                     + CAST(du.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
-                     + CAST(dv.deg - i.cn AS DOUBLE) * (dv.deg - i.cn)
-                     + CAST(dv.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))) = 0
-                THEN 0.0
-                ELSE 2.0 * (CAST(i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
-                            - CAST(du.deg - i.cn AS DOUBLE) * (dv.deg - i.cn))
-                     / (CAST(i.cn AS DOUBLE) * (du.deg - i.cn)
-                        + CAST(i.cn AS DOUBLE) * (dv.deg - i.cn)
-                        + 2.0 * i.cn * (nn.n - (du.deg + dv.deg - i.cn))
-                        + CAST(du.deg - i.cn AS DOUBLE) * (du.deg - i.cn)
-                        + CAST(du.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn))
-                        + CAST(dv.deg - i.cn AS DOUBLE) * (dv.deg - i.cn)
-                        + CAST(dv.deg - i.cn AS DOUBLE) * (nn.n - (du.deg + dv.deg - i.cn)))
-           END, 6) AS adjusted_rand
-  FROM inter i JOIN deg du ON i.u = du.node JOIN deg dv ON i.v = dv.node
-  CROSS JOIN nn
-  LEFT JOIN e ON i.u = e.src AND i.v = e.dst
-  WHERE e.src IS NULL
-)
-SELECT u, v, total_neighbors, u_degree, v_degree, adjusted_rand, rnk
-FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY adjusted_rand DESC, u ASC, v ASC) AS rnk FROM scored)
-WHERE rnk <= 500
-""",
         "graph_modularity_kind": f"""
 WITH {_GRAPH_CTES},
 loopw AS (SELECT u, v, w, CASE WHEN u = v THEN w ELSE 0 END AS lw FROM sym),
@@ -1509,7 +1378,8 @@ cov AS (
 expd AS (SELECT SUM(cvol * cvol) / ((SELECT m2 FROM twom) * (SELECT m2 FROM twom)) AS expected FROM cvol)
 SELECT ROUND((SELECT coverage FROM cov) - (SELECT expected FROM expd), 6) AS modularity
 """,
-        "graph_hub_dominance": f"""
+        "graph_quality_suite": f"""
+SELECT 'hub_dominance' AS measure, label, value FROM (
 WITH {_GRAPH_CTES},
 {_KIND_SQL},
 ideg AS (
@@ -1522,8 +1392,9 @@ SELECT z.label,
        ROUND(CASE WHEN z.sz <= 1 THEN 1.0
                   ELSE COALESCE(m.mideg, 0) * 1.0 / (z.sz - 1) END, 6) AS value
 FROM sizes z LEFT JOIN mx m ON z.label = m.label
-""",
-        "graph_intra_density": f"""
+)
+UNION ALL
+SELECT 'intra_density' AS measure, label, value FROM (
 WITH {_GRAPH_CTES},
 {_KIND_SQL},
 intra AS (
@@ -1535,8 +1406,9 @@ SELECT z.label,
        ROUND(CASE WHEN z.sz <= 1 THEN 1.0
                   ELSE COALESCE(i.ie, 0) / (z.sz * (z.sz - 1) / 2.0) END, 6) AS value
 FROM sizes z LEFT JOIN intra i ON z.label = i.label
-""",
-        "graph_iso_conductance": f"""
+)
+UNION ALL
+SELECT 'iso_conductance' AS measure, label, value FROM (
 WITH {_GRAPH_CTES},
 {_KIND_SQL},
 ev AS (
@@ -1555,8 +1427,9 @@ SELECT z.label,
        ROUND(CASE WHEN COALESCE(LEAST(v.vol, (SELECT t FROM tot) - v.vol), 0) <= 0 THEN 0.0
                   ELSE COALESCE(c.cut, 0) / LEAST(v.vol, (SELECT t FROM tot) - v.vol) END, 6) AS value
 FROM sizes z LEFT JOIN vol v ON z.label = v.label LEFT JOIN cut c ON z.label = c.label
-""",
-        "graph_iso_expansion": f"""
+)
+UNION ALL
+SELECT 'iso_expansion' AS measure, label, value FROM (
 WITH {_GRAPH_CTES},
 {_KIND_SQL},
 nn AS (SELECT COUNT(*) AS n FROM lab),
@@ -1571,8 +1444,9 @@ cut AS (SELECT label, SUM(w) AS cut
 SELECT z.label,
        ROUND(COALESCE(c.cut, 0) / LEAST(z.sz, (SELECT n FROM nn) - z.sz), 6) AS value
 FROM sizes z LEFT JOIN cut c ON z.label = c.label
-""",
-        "graph_fragmentation": f"""
+)
+UNION ALL
+SELECT 'fragmentation' AS measure, label, value FROM (
 WITH RECURSIVE {_GRAPH_CTES},
 {_KIND_SQL},
 reach(node, clabel) AS (
@@ -1588,8 +1462,9 @@ pieces AS (
 mx AS (SELECT label, MAX(piece) AS mp FROM pieces GROUP BY label)
 SELECT z.label, ROUND(1.0 - COALESCE(m.mp, 0) * 1.0 / z.sz, 6) AS value
 FROM sizes z LEFT JOIN mx m ON z.label = m.label
-""",
-        "graph_stable_nodes": f"""
+)
+UNION ALL
+SELECT 'stable_nodes' AS measure, label, value FROM (
 WITH {_GRAPH_CTES},
 {_KIND_SQL},
 lw AS (
@@ -1605,6 +1480,7 @@ pn AS (
 st AS (SELECT node, CASE WHEN own_w > 0 AND (mo IS NULL OR mo < own_w) THEN 1 ELSE 0 END AS stable FROM pn)
 SELECT l.label, ROUND(AVG(COALESCE(s.stable, 1)), 6) AS value
 FROM lab l LEFT JOIN st s ON l.node = s.node GROUP BY l.label
+)
 """,
         "graph_bfs": f"""
 WITH RECURSIVE {_GRAPH_CTES},
