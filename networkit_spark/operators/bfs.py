@@ -180,3 +180,100 @@ def volume(
     sym.unpersist()
     total = dist.count()
     return total / len(sources)
+
+
+def incomplete_dijkstra(
+    graph: EdgeGraph,
+    sources: list[int],
+    max_dist: float,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """``IncompleteDijkstra`` (``cpp/distance/IncompleteDijkstra.h:27``,
+    via ``IncompleteSSSP``): multi-source weighted shortest paths
+    EXPLORED ONLY within ``max_dist`` — the pruning is the point (the
+    reference pops the heap until dist ≥ bound).  Spark shape: the same
+    Bellman-Ford relax supersteps as :func:`sssp`, but candidates at or
+    beyond the bound are dropped BEFORE the next gather, so the frontier
+    (and the join) stays proportional to the ball volume, not the
+    graph.  Returns (node, dist) with dist < max_dist."""
+    sym = graph.sym().persist()
+    src = graph.spark.createDataFrame(
+        [(int(s), 0.0) for s in sources], "node long, dist double"
+    )
+    dist = src.groupBy("node").agg(F.min("dist").alias("dist"))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            sym.join(
+                frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                    "dist", "sdist"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("sdist") + F.col("weight")).alias("cand"))
+            .where(F.col("cand") < max_dist)  # the incomplete-SSSP prune
+        )
+        merged = (
+            dist.join(cand, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.coalesce("cand", F.lit(float("inf")))
+                    < F.coalesce("dist", F.lit(float("inf")))
+                ).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where("chg").select("node", "dist")
+        dist = merged.select("node", "dist")
+        if frontier.count() == 0:
+            break
+    sym.unpersist()
+    return dist
+
+
+def all_simple_paths(
+    graph: EdgeGraph,
+    source: int,
+    target: int,
+    cutoff: int,
+) -> DataFrame:
+    """``AllSimplePaths`` (``cpp/distance/AllSimplePaths.h:21``):
+    enumerate every simple path source→target of length ≤ ``cutoff``
+    (the reference's directed unweighted semantics; undirected graphs
+    walk the symmetrized adjacency).  Spark shape: breadth-synchronous
+    path extension — each round joins live partial paths against the
+    adjacency and drops revisits (``array_contains``), so the work
+    distributes over the path population (which is worst-case
+    exponential — ``cutoff`` is mandatory, as in the reference, where
+    ``none`` means unbounded only for DAG-ish inputs).  Returns one row
+    per path: (path array<long>, length)."""
+    if cutoff < 1:
+        raise ValueError("cutoff must be >= 1")
+    sym = graph.sym().select("src", "dst").persist()
+    live = graph.spark.createDataFrame(
+        [([int(source)],)], "path array<long>"
+    )
+    done = None
+    for _ in range(cutoff):
+        ext = (
+            live.withColumn("src", F.element_at("path", -1))
+            .join(sym, "src")
+            .where(~F.array_contains("path", F.col("dst")))
+            .select(F.concat("path", F.array("dst")).alias("path"))
+        )
+        ext = ext.localCheckpoint(eager=True)
+        hit = ext.where(F.element_at("path", -1) == target)
+        done = hit if done is None else done.unionByName(hit)
+        live = ext.where(F.element_at("path", -1) != target)
+        if live.count() == 0:
+            break
+    sym.unpersist()
+    out = done if done is not None else live.limit(0)
+    return out.select("path", (F.size("path") - 1).alias("length"))

@@ -28,7 +28,20 @@ _READERS = {
     "konect": lambda spark, path, **kw: read_konect(spark, path, **kw),
     "gml": lambda spark, path, **kw: _read_gml(spark, path),
     "graphml": lambda spark, path, **kw: _read_graphml(spark, path),
+    "matrixmarket": lambda spark, path, **kw: _read_formats(spark, path, "mm"),
+    "mat": lambda spark, path, **kw: _read_formats(spark, path, "mm"),
+    "gexf": lambda spark, path, **kw: _read_formats(spark, path, "gexf"),
 }
+
+
+def _read_formats(spark, path, kind):
+    from networkit_spark.sources import formats
+
+    return (
+        formats.read_matrix_market(spark, path)
+        if kind == "mm"
+        else formats.read_gexf(spark, path)
+    )
 
 
 def _read_gml(spark, path):
@@ -51,6 +64,8 @@ _EXT_TO_FORMAT = {
     ".konect": "konect",
     ".gml": "gml",
     ".graphml": "graphml",
+    ".mtx": "matrixmarket",
+    ".gexf": "gexf",
 }
 
 
@@ -90,6 +105,10 @@ def write_graph(graph, path: str, fmt: str | None = None, **kw) -> None:
             fmt = "gml"
         elif low.endswith(".graphml"):
             fmt = "graphml"
+        elif low.endswith(".gexf"):
+            fmt = "gexf"
+        elif low.endswith(".dot") or low.endswith(".gv"):
+            fmt = "dot"
         else:
             fmt = "edgelist"
     key = fmt
@@ -110,6 +129,16 @@ def write_graph(graph, path: str, fmt: str | None = None, **kw) -> None:
         from networkit_spark.sources.gml import write_graphml
 
         write_graphml(graph, path)
+        return
+    if key == "gexf":
+        from networkit_spark.sources.formats import write_gexf
+
+        write_gexf(graph, path)
+        return
+    if key == "dot":
+        from networkit_spark.sources.formats import write_dot
+
+        write_dot(graph, path)
         return
     raise ValueError(f"unknown graph sink format {fmt!r}")
 

@@ -114,3 +114,46 @@ def test_distance_family_wrappers(spark):
     hp = {r["h"]: r["fraction"] for r in hop_plot(g, max_h=4).collect()}
     assert abs(hp[0] - 4.0 / 16.0) < 1e-12
     assert abs(hp[2] - 1.0) < 1e-12  # diameter 2: everything reached
+
+
+def test_incomplete_dijkstra_ball(spark):
+    """IncompleteDijkstra ≡ sssp restricted to dist < bound (path graph
+    with weights: 0-1-2-3-4, w=1 each, bound 2.5 → {0,1,2})."""
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.bfs import incomplete_dijkstra, sssp
+
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)], "src long, dst long, weight double"
+    )
+    g = EdgeGraph.from_edges(e)
+    got = {r["node"]: r["dist"] for r in incomplete_dijkstra(g, [0], 2.5).collect()}
+    ref = {
+        r["node"]: r["dist"]
+        for r in sssp(g, 0).collect()
+        if r["dist"] < 2.5
+    }
+    assert got == ref == {0: 0.0, 1: 1.0, 2: 2.0}
+    # multi-source: min over sources
+    got2 = {r["node"]: r["dist"] for r in incomplete_dijkstra(g, [0, 6], 1.5).collect()}
+    assert got2 == {0: 0.0, 1: 1.0, 6: 0.0, 5: 1.0}
+
+
+def test_all_simple_paths_diamond(spark):
+    """Diamond 0-{1,2}-3 plus chord 1-2: paths 0→3 with cutoff 3."""
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.bfs import all_simple_paths
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (1, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = EdgeGraph.from_edges(e)
+    paths = {tuple(r["path"]) for r in all_simple_paths(g, 0, 3, cutoff=3).collect()}
+    assert paths == {
+        (0, 1, 3),
+        (0, 2, 3),
+        (0, 1, 2, 3),
+        (0, 2, 1, 3),
+    }
+    short = {tuple(r["path"]) for r in all_simple_paths(g, 0, 3, cutoff=2).collect()}
+    assert short == {(0, 1, 3), (0, 2, 3)}

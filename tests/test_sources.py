@@ -157,3 +157,63 @@ def test_gml_and_graphml_roundtrip(spark, tmp_path):
         assert a == b, fmt
         assert back.directed == g.directed
         assert back.declared_nodes == 4
+
+
+def test_matrix_market_symmetric_and_pattern(spark, tmp_path):
+    """MatrixMarketReader.cpp banner/qualifier semantics: 1-based ids,
+    symmetric → undirected, pattern → weight 1.0."""
+    from networkit_spark.sources.formats import read_matrix_market
+
+    p = tmp_path / "a.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% a comment\n"
+        "3 3 3\n"
+        "1 2 2.5\n"
+        "2 3 1.0\n"
+        "3 1 4.0\n"
+    )
+    g = read_matrix_market(spark, str(p))
+    assert not g.directed and g.declared_nodes == 3
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert rows == {(0, 1): 2.5, (1, 2): 1.0, (0, 2): 4.0}
+
+    q = tmp_path / "b.mtx"
+    q.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "2 2 2\n1 2\n2 1\n"
+    )
+    h = read_matrix_market(spark, str(q))
+    assert h.directed
+    rows = {(r["src"], r["dst"]): r["weight"] for r in h.edges.collect()}
+    assert rows == {(0, 1): 1.0, (1, 0): 1.0}
+
+
+def test_gexf_roundtrip_and_dot(spark, tmp_path):
+    from networkit_spark.sources import read_graph, write_graph
+    from networkit_spark.graph import EdgeGraph
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.5)], "src long, dst long, weight double"
+    )
+    g = EdgeGraph.from_edges(e)
+    p = tmp_path / "g.gexf"
+    write_graph(g, str(p))
+    h = read_graph(spark, str(p))
+    assert not h.directed
+    rows = {(r["src"], r["dst"]): r["weight"] for r in h.edges.collect()}
+    assert rows == {(0, 1): 1.0, (1, 2): 2.0, (0, 2): 1.5}
+
+    d = tmp_path / "g.dot"
+    write_graph(g, str(d))
+    text = d.read_text()
+    assert text.startswith("graph {") and "0 -- 1;" in text and text.rstrip().endswith("}")
+
+
+def test_read_graph_mtx_dispatch(spark, tmp_path):
+    from networkit_spark.sources import read_graph
+
+    p = tmp_path / "m.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n2 2 1\n1 2 3.0\n")
+    g = read_graph(spark, str(p))
+    assert g.directed and g.num_edges() == 1
