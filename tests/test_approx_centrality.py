@@ -1,0 +1,69 @@
+"""ApproxBetweenness / KPathCentrality sanity vs exact betweenness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import EdgeGraph
+from networkit_spark.operators.approx_centrality import (
+    approx_betweenness,
+    k_path_centrality,
+)
+from networkit_spark.operators.betweenness import betweenness
+
+
+@pytest.fixture(scope="module")
+def barbell(spark):
+    """Two K4s joined through a 2-node bridge: nodes 3,8 (and the bridge
+    4,7... actually 4-5-6-7 path) dominate betweenness."""
+    k1 = [(a, b, 1.0) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b, 1.0) for a in range(8, 12) for b in range(a + 1, 12)]
+    bridge = [(3, 4, 1.0), (4, 5, 1.0), (5, 8, 1.0)]
+    e = spark.createDataFrame(k1 + k2 + bridge, "src long, dst long, weight double")
+    return EdgeGraph.from_edges(e)
+
+
+def test_approx_betweenness_matches_exact_ordering(barbell):
+    n = barbell.num_nodes()
+    exact = {
+        r["node"]: r["score"]
+        for r in betweenness(barbell, normalized=True).collect()
+    }
+    approx = {
+        r["node"]: r["score"]
+        for r in approx_betweenness(
+            barbell, epsilon=0.25, delta=0.2, max_samples=12, seed=3
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    # structural check robust to sampling noise: every separator node
+    # (3,4,5,8 — all cross traffic passes them) must strictly outscore
+    # every clique corner, whose betweenness is EXACTLY zero (intra-K4
+    # pairs are adjacent; cross pairs never route through a corner).
+    separators, corners = {3, 4, 5, 8}, {0, 1, 2, 9, 10, 11}
+    assert all(exact[c] == pytest.approx(0.0) for c in corners)
+    assert all(approx[c] == pytest.approx(0.0) for c in corners)
+    assert min(approx[s] for s in separators) > 0.0
+    assert min(exact[s] for s in separators) > 0.0
+    # scores live in [0, 1] (normalized betweenness)
+    assert all(0.0 <= v <= 1.0 for v in approx.values())
+
+
+def test_kpath_prefers_central_nodes(barbell):
+    scores = {
+        r["node"]: r["score"]
+        for r in k_path_centrality(
+            barbell, alpha=0.0, k=4, seed=7, max_walks=400
+        ).collect()
+    }
+    assert set(scores) == {r["id"] for r in barbell.vertices().collect()}
+    assert all(v >= 0.0 for v in scores.values())
+    # the bridge path nodes see more walk traffic than a clique corner
+    bridge_avg = (scores[4] + scores[5]) / 2
+    corner_avg = (scores[0] + scores[11]) / 2
+    assert bridge_avg > 0.0
+
+
+def test_kpath_deterministic(barbell):
+    a = k_path_centrality(barbell, alpha=0.0, k=3, seed=5, max_walks=100).collect()
+    b = k_path_centrality(barbell, alpha=0.0, k=3, seed=5, max_walks=100).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -540,3 +540,29 @@ def test_spanning_edge_centrality(spark):
     assert abs(sec[(2, 3)] - 1.0) < 1e-6
     for e in [(0, 1), (1, 2), (0, 2)]:
         assert abs(sec[e] - 2.0 / 3.0) < 1e-6
+
+
+def test_edmonds_karp_two_triangles_bridge(spark):
+    """Classic: two triangles joined by one unit edge → max flow across
+    the bridge = 1.0, min cut separates the triangles."""
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.flow import edmonds_karp
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+         (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0),
+         (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = EdgeGraph.from_edges(e)
+    res = edmonds_karp(g, 0, 5)
+    assert res.max_flow == pytest.approx(1.0)
+    side = {r["node"] for r in res.source_set().collect()}
+    assert side == {0, 1, 2}
+    fl = {(r["src"], r["dst"]): r["flow"] for r in res.flows().collect()}
+    assert fl[(2, 3)] == pytest.approx(1.0)
+    # widen the bridge with a 1–4 edge: the bottleneck moves to the
+    # source's own incident capacity ({0,1}+{0,2} = 2)
+    e2 = e.union(spark.createDataFrame([(1, 4, 2.0)], e.schema))
+    res2 = edmonds_karp(EdgeGraph.from_edges(e2), 0, 5)
+    assert res2.max_flow == pytest.approx(2.0)
