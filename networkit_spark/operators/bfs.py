@@ -277,3 +277,45 @@ def all_simple_paths(
     sym.unpersist()
     out = done if done is not None else live.limit(0)
     return out.select("path", (F.size("path") - 1).alias("length"))
+
+
+def dfs_from(graph: EdgeGraph, source: int) -> DataFrame:
+    """``Graph.DFSfrom/DFSEdgesFrom`` (pyx:1198-1269): depth-first visit
+    order + tree parent from ``source``.  DFS has no data-parallel
+    analog (each step depends on the full visited set), so — like the
+    reference, whose DFSfrom is a sequential stack walk — the traversal
+    runs driver-side over the source's component (gathered with one
+    distributed reachability pass + one collect; documented bound, same
+    class as EdmondsKarp/CutClustering).  Neighbors are visited in
+    ascending id (the reference visits adjacency order; ours is the
+    canonical deterministic order).  Returns (node, ord, parent),
+    parent NULL at the source."""
+    reach = bfs(graph, source).select("node")
+    rows = (
+        graph.sym()
+        .join(reach.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst")
+        .collect()
+    )
+    adj: dict[int, list[int]] = {}
+    for r in rows:
+        adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    for v in adj:
+        # reverse-sorted: the stack pops the SMALLEST neighbor first
+        adj[v].sort(reverse=True)
+    order: list[tuple[int, int, int | None]] = []
+    seen: set[int] = set()
+    stack: list[tuple[int, int | None]] = [(int(source), None)]
+    # mark at POP time so the order matches the recursive preorder
+    while stack:
+        u, par = stack.pop()
+        if u in seen:
+            continue
+        seen.add(u)
+        order.append((u, len(order), par))
+        for w in adj.get(u, []):
+            if w not in seen:
+                stack.append((w, u))
+    return graph.spark.createDataFrame(
+        order, "node long, ord long, parent long"
+    )

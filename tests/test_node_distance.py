@@ -157,3 +157,25 @@ def test_all_simple_paths_diamond(spark):
     }
     short = {tuple(r["path"]) for r in all_simple_paths(g, 0, 3, cutoff=2).collect()}
     assert short == {(0, 1, 3), (0, 2, 3)}
+
+
+def test_dfs_preorder(spark):
+    """DFSfrom preorder on a small tree + cross edge: matches the
+    recursive smallest-neighbor-first walk."""
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.bfs import dfs_from
+
+    #    0 - 1 - 3
+    #    |   |
+    #    2   4      plus cross edge 3-4, isolated-from-source node pair 8-9
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (1, 4, 1.0), (3, 4, 1.0),
+         (8, 9, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = EdgeGraph.from_edges(e)
+    rows = sorted(dfs_from(g, 0).collect(), key=lambda r: r["ord"])
+    walk = [(r["node"], r["parent"]) for r in rows]
+    # recursive preorder, smallest neighbor first:
+    # 0 → 1 → 3 → 4 (via 3), backtrack, → 2
+    assert walk == [(0, None), (1, 0), (3, 1), (4, 3), (2, 0)]
