@@ -73,6 +73,13 @@ def approx_betweenness(
     from networkit_spark.operators.bfs import diameter_range
 
     sym = graph.sym().select("src", "dst").persist()
+    # the t-side sweep needs distances INTO t — on directed graphs that
+    # is a BFS over transposed edges (undirected: same relation)
+    tsym = (
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if graph.directed
+        else sym
+    )
     vertices = graph.vertices().persist()
     lo, hi = diameter_range(graph)
     vd = max(hi + 1, 3)
@@ -100,7 +107,7 @@ def approx_betweenness(
         if s == t:
             continue
         fs = _sigma_bfs(sym, s)
-        ft = _sigma_bfs(sym, t)
+        ft = _sigma_bfs(tsym, t)
         dst_row = fs.where(F.col("node") == t).collect()
         used += 1
         if not dst_row:
@@ -185,8 +192,7 @@ def k_path_centrality(
     for j in range(1, k + 1):
         live = walks.where(F.size("path") - 1 < F.col("l"))
         done = walks.where(F.size("path") - 1 >= F.col("l"))
-        if done.columns:
-            finished.append(done.select("path"))
+        finished.append(done.select("path"))
         if live.count() == 0:
             walks = live
             break

@@ -50,7 +50,15 @@ def edmonds_karp(graph: EdgeGraph, source: int, sink: int) -> EdmondsKarpResult:
     BOTH directions (``EdmondsKarp.cpp`` residual init)."""
     from networkit_spark.operators.bfs import bfs
 
-    reach = bfs(graph, source).select("node")
+    # capacities are bidirectional (reference residual init), so the
+    # relevant component is the UNDIRECTED one — a directed-BFS scope
+    # would drop back-edges like 2->1 when only 0->1 is forward-reachable
+    und = (
+        EdgeGraph(graph.edges, directed=False, weighted=graph.weighted)
+        if graph.directed
+        else graph
+    )
+    reach = bfs(und, source).select("node")
     comp_edges = (
         graph.edges.join(reach.withColumnRenamed("node", "src"), "src")
         .select("src", "dst", "weight")

@@ -36,7 +36,7 @@ import sys
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from networkit_spark.graph import EdgeGraph, truncate_lineage
+from networkit_spark.graph import EdgeGraph, symmetrize, truncate_lineage
 
 # The trade closure crosses the driver→executor boundary; pickle the
 # module by value so executors don't need the package on PYTHONPATH
@@ -135,10 +135,13 @@ def global_curveball(
         memb = trades.select("trade", F.col("u").alias("node")).unionByName(
             trades.select("trade", F.col("v").alias("node"))
         )
-        # territory: members + all their neighbors; min trade id wins a
-        # node; a trade survives only if it won its entire territory.
+        # territory: members + all their neighbors IN THE CURRENT edge
+        # set (round r-1's rewiring changed adjacency — claiming against
+        # the original graph would let two surviving trades share a new
+        # edge and re-deal it twice); min trade id wins a node; a trade
+        # survives only if it won its entire territory.
         nbr_claims = (
-            graph.sym()
+            symmetrize(edges)
             .join(memb.withColumnRenamed("node", "src"), "src")
             .select("trade", F.col("dst").alias("node"))
         )
@@ -150,7 +153,13 @@ def global_curveball(
             .select("trade")
             .distinct()
         )
-        alive = trades.join(lost, "trade", "left_anti")
+        # alive is small (≤ n/2 rows) but sits downstream of two
+        # groupBys and feeds THREE consumers (am, the traded join, and
+        # through them both union branches) — checkpoint it once so the
+        # claims chain doesn't re-execute per consumer.
+        alive = trades.join(lost, "trade", "left_anti").localCheckpoint(
+            eager=True
+        )
         # route each edge: incident to a surviving member → that trade
         am = alive.select("trade", F.col("u").alias("node")).unionByName(
             alive.select("trade", F.col("v").alias("node"))

@@ -29,9 +29,18 @@ _READERS = {
     "gml": lambda spark, path, **kw: _read_gml(spark, path),
     "graphml": lambda spark, path, **kw: _read_graphml(spark, path),
     "matrixmarket": lambda spark, path, **kw: _read_formats(spark, path, "mm"),
-    "mat": lambda spark, path, **kw: _read_formats(spark, path, "mm"),
+    # Format.MAT in the reference is MATLAB binary (scipy loadmat), NOT
+    # MatrixMarket — don't alias it; fail loudly instead of misparsing.
+    "mat": lambda spark, path, **kw: _raise_mat(path),
     "gexf": lambda spark, path, **kw: _read_formats(spark, path, "gexf"),
 }
+
+
+def _raise_mat(path):
+    raise NotImplementedError(
+        f"MATLAB .mat graphs are not supported ({path!r}); convert to "
+        "MatrixMarket (fmt='matrixmarket') or an edge list offline"
+    )
 
 
 def _read_formats(spark, path, kind):

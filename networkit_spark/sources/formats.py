@@ -39,12 +39,12 @@ def read_matrix_market(spark, path: str) -> EdgeGraph:
         if fmt != "coordinate":
             raise ValueError("only coordinate (sparse) MatrixMarket is supported")
         # size line = first non-comment line after the banner
-        n_comment = 1
+        size_toks: list[str] = []
         for line in f:
-            n_comment += 1
             s = line.strip()
             if s and not s.startswith("%"):
-                nrows, ncols, _nnz = (int(x) for x in s.split()[:3])
+                size_toks = s.split()[:3]
+                nrows, ncols = int(size_toks[0]), int(size_toks[1])
                 break
         else:
             raise ValueError("MatrixMarket size line missing")
@@ -53,17 +53,22 @@ def read_matrix_market(spark, path: str) -> EdgeGraph:
 
     lines = (
         spark.read.text(path)
-        .select(
-            F.monotonically_increasing_id().alias("ord"),
-            F.trim(F.col("value")).alias("s"),
-        )
+        .select(F.trim(F.col("value")).alias("s"))
         .where((F.length("s") > 0) & ~F.col("s").startswith("%"))
     )
-    # drop the size line (the first surviving row in file order)
-    first = lines.agg(F.min("ord")).collect()[0][0]
-    toks = lines.where(F.col("ord") != first).select(
-        F.split("s", r"\s+").alias("t")
-    )
+    # Drop the size line by CONTENT, not position: file-split ordering is
+    # not offset-ordered for multi-block files, so min(monotonic id) may
+    # not be the first line in file order.  The size-line text is known
+    # from the driver-side header read; if an entry row happens to carry
+    # the identical text, keep count-1 copies (identical text ⇒ identical
+    # parsed entry, so which copy survives is immaterial).
+    toks_all = lines.select(F.split("s", r"\s+").alias("t"))
+    is_size = F.array_join("t", " ") == " ".join(size_toks)
+    matches = toks_all.where(is_size)
+    k = matches.count()
+    toks = toks_all.where(~is_size)
+    if k > 1:
+        toks = toks.unionByName(matches.limit(k - 1))
     e = toks.select(
         (F.element_at("t", 1).cast("long") - 1).alias("src"),
         (F.element_at("t", 2).cast("long") - 1).alias("dst"),

@@ -566,3 +566,18 @@ def test_edmonds_karp_two_triangles_bridge(spark):
     e2 = e.union(spark.createDataFrame([(1, 4, 2.0)], e.schema))
     res2 = edmonds_karp(EdgeGraph.from_edges(e2), 0, 5)
     assert res2.max_flow == pytest.approx(2.0)
+
+
+def test_edmonds_karp_directed_scoping(spark):
+    """Capacities are bidirectional, so scoping must use the UNDIRECTED
+    component: with edges 0→1 and 2→1 the only s–t path 0-1-2 rides the
+    2→1 edge backwards — a forward-BFS scope drops it and reports 0."""
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.flow import edmonds_karp
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 1, 1.0)], "src long, dst long, weight double"
+    )
+    g = EdgeGraph.from_edges(e, directed=True)
+    res = edmonds_karp(g, 0, 2)
+    assert res.max_flow == pytest.approx(1.0)

@@ -65,3 +65,12 @@ def test_edge_switching_generator_realizes_sequence(spark):
     degs = sorted(_degmap(g).values(), reverse=True)
     assert degs == sorted(seq, reverse=True)
     _check_simple(g)
+
+
+def test_global_curveball_invariants_hold_over_many_rounds(base):
+    """Rounds ≥ 2 trade against the REWIRED adjacency — territory claims
+    on a stale edge set could double-deal an edge created by an earlier
+    round (multi-edge / degree drift)."""
+    r = global_curveball(base, rounds=10, seed=23)
+    assert _degmap(r) == _degmap(base)
+    _check_simple(r)
