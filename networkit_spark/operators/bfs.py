@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import EdgeGraph
@@ -319,3 +321,115 @@ def dfs_from(graph: EdgeGraph, source: int) -> DataFrame:
     return graph.spark.createDataFrame(
         order, "node long, ord long, parent long"
     )
+
+
+def reverse_bfs(graph: EdgeGraph, source: int, max_depth: int | None = None) -> DataFrame:
+    """``ReverseBFS`` (``cpp/distance/ReverseBFS.h``): hop distances TO
+    ``source`` — a BFS over the transposed edge relation.  Undirected
+    graphs: identical to ``bfs``."""
+    if not graph.directed:
+        return bfs(graph, source, max_depth=max_depth)
+    t = EdgeGraph(
+        graph.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        ),
+        directed=True,
+        weighted=graph.weighted,
+    )
+    return bfs(t, source, max_depth=max_depth)
+
+
+def _keyed_bfs(sym: DataFrame, sources: list[int]) -> DataFrame:
+    """(s, node, dist) for every source — all wavefronts advance in ONE
+    superstep loop (frontier keyed by (s, node); one edge join + one
+    distinct per hop)."""
+    spark = sym.sparkSession
+    cur = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sorted(set(sources))],
+        "s long, node long, dist int",
+    ).localCheckpoint(eager=True)
+    out, d = cur, 0
+    while True:
+        d += 1
+        nxt = (
+            sym.join(cur.withColumnRenamed("node", "src"), "src")
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+            .join(out.select("s", "node"), ["s", "node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return out
+        out = out.unionByName(nxt).localCheckpoint(eager=True)
+        cur = nxt
+
+
+def neighborhood_function_heuristic(
+    graph: EdgeGraph,
+    nsamples: int = 0,
+    strategy: str = "split",
+    seed: int = 42,
+) -> DataFrame:
+    """(h, reachable_pairs) — sampled neighborhood function
+    (``cpp/distance/NeighborhoodFunctionHeuristic.cpp:33-104``).
+
+    ``nsamples`` BFS runs scaled by n/samples (0 → max(√m, 0.15·n), the
+    reference default); cumulative over h with the reference's exact
+    anchors N(1) = 2m and N(diameter) = n·(n−1).  All sampled BFS
+    wavefronts run in ONE keyed superstep loop.  Strategies: ``random``
+    (hash-seeded) or ``split`` — the reference picks every
+    (n/samples)-th node of the degree-sorted node list; here each
+    degree-quantile band contributes its smallest node (same
+    spread-over-the-degree-distribution intent, no global sorted index
+    needed — a groupBy instead of a total order).
+    """
+    from networkit_spark.graph import random_nodes
+
+    n = graph.num_nodes()
+    m = graph.num_edges()
+    if nsamples <= 0:
+        nsamples = max(int(math.sqrt(m)), int(0.15 * n))
+    nsamples = max(1, min(nsamples, n))
+    if strategy == "random":
+        sources = random_nodes(graph, k=nsamples, seed=seed)
+    elif strategy == "split":
+        degs = graph.degrees().select("node", "deg")
+        qs = [i / nsamples for i in range(nsamples)]
+        bounds = degs.approxQuantile("deg", qs, 0.01)
+        cond = F.lit(0)
+        for b in sorted(set(bounds)):
+            cond = cond + (F.col("deg") >= F.lit(float(b))).cast("int")
+        picked = (
+            degs.withColumn("band", cond)
+            .groupBy("band")
+            .agg(F.min("node").alias("node"))
+            .collect()
+        )
+        sources = [int(r["node"]) for r in picked][:nsamples]
+    else:
+        raise ValueError("unknown strategy, choose either split or random")
+
+    sym = graph.sym().select("src", "dst").persist()
+    dists = _keyed_bfs(sym, sources)
+    counts = {
+        int(r["dist"]): int(r["c"])
+        for r in dists.where(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    sym.unpersist()
+    dia = max(counts) if counts else 1
+    norm = n / float(len(sources))
+    rows: list[tuple[int, int]] = []
+    acc = 0
+    for h in range(1, dia + 1):
+        if h == 1:
+            acc = 2 * m if not graph.directed else m
+        elif h == dia and dia > 1:
+            acc = n * (n - 1)
+        else:
+            acc += int(round(counts.get(h, 0) * norm))
+        rows.append((h, acc))
+    return graph.spark.createDataFrame(rows, "h int, reachable_pairs long")
