@@ -496,3 +496,208 @@ class DynTopHarmonicCloseness:
             .select(F.col("id").alias("node"), F.coalesce("score", F.lit(0.0)).alias("score"))
         )
         return full.orderBy(F.desc("score"), F.asc("node")).limit(self.k)
+
+
+# ---------------------------------------------------------------------------
+# DynBetweennessOneNode
+# ---------------------------------------------------------------------------
+
+
+class BetweennessOneNodeState:
+    """Resumable state for the betweenness of ONE node x
+    (``cpp/centrality/DynBetweennessOneNode.h:20-72``): the reference
+    keeps the n×n ``distances``/``sigma``/``sigmax`` matrices; here one
+    (src, dst, dist, sigma) table suffices — σ_x(s, t) is DERIVED by a
+    join (σ(s,x)·σ(x,t) where d(s,x)+d(x,t)=d(s,t)), so it never has to
+    be maintained.  Hop metric (the reference also handles weights via
+    Dijkstra; documented restriction).  O(n²) rows by nature, like
+    ``APSPState``."""
+
+    def __init__(self, graph: EdgeGraph, x: int, pairs: DataFrame):
+        self.graph = graph
+        self.x = int(x)
+        self.pairs = pairs  # (src, dst, dist, sigma), reachable pairs
+
+    def sigmax(self) -> DataFrame:
+        """(src, dst, sigmax) — shortest s–t paths through x."""
+        p = self.pairs
+        sx = p.where(F.col("dst") == self.x).select(
+            "src", F.col("dist").alias("d_sx"), F.col("sigma").alias("s_sx")
+        )
+        xt = p.where(F.col("src") == self.x).select(
+            F.col("dst"), F.col("dist").alias("d_xt"), F.col("sigma").alias("s_xt")
+        )
+        return (
+            p.join(sx, "src")
+            .join(xt, "dst")
+            .select(
+                "src",
+                "dst",
+                F.when(
+                    F.col("d_sx") + F.col("d_xt") == F.col("dist"),
+                    F.col("s_sx") * F.col("s_xt"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("sigmax"),
+            )
+        )
+
+    def bcx(self) -> float:
+        """Σ_{s≠x≠t} σ_x(s,t)/σ(s,t) over ordered reachable pairs —
+        matches the exact Brandes accumulation (undirected scores are
+        NOT halved, same convention as ``operators/betweenness.py``)."""
+        joined = self.pairs.join(self.sigmax(), ["src", "dst"])
+        row = (
+            joined.where(
+                (F.col("src") != self.x)
+                & (F.col("dst") != self.x)
+                & (F.col("src") != F.col("dst"))
+            )
+            .agg(F.sum(F.col("sigmax") / F.col("sigma")).alias("b"))
+            .collect()[0]
+        )
+        return float(row["b"] or 0.0)
+
+
+def betweenness_one_node_state(
+    graph: EdgeGraph, x: int, max_rounds: int = 256
+) -> BetweennessOneNodeState:
+    """``DynBetweennessOneNode::run`` seeds the matrices with one
+    Dijkstra per node; here ALL sources run level-synchronous σ-BFS
+    together — frontier keyed by (src, node), σ(s,v) at level d summed
+    over level-(d−1) in-neighbors, one edge join + groupBy per hop."""
+    sym = graph.sym().select("src", "dst").persist()
+    cur = (
+        graph.vertices()
+        .select(
+            F.col("id").alias("s"),
+            F.col("id").alias("node"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = cur
+    for rnd in range(max_rounds):
+        nxt = (
+            sym.join(cur.withColumnRenamed("node", "src"), "src")
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(out.select("s", "node"), ["s", "node"], "left_anti")
+            .withColumn("dist", F.lit(rnd + 1))
+            .select("s", "node", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        out = out.unionByName(nxt).localCheckpoint(eager=True)
+        cur = nxt
+    sym.unpersist()
+    pairs = out.select(
+        F.col("s").alias("src"), F.col("node").alias("dst"), "dist", "sigma"
+    )
+    return BetweennessOneNodeState(graph, x, pairs)
+
+
+def incremental_betweenness_one_node(
+    state: BetweennessOneNodeState, events: DataFrame
+) -> BetweennessOneNodeState:
+    """``DynBetweennessOneNode::update`` (insertions only, like the
+    reference).  For ONE inserted edge {u, v} every new shortest path
+    uses it exactly once (positive weights), so the post-state is a
+    CLOSED FORM over the old state:
+
+        d'(s,t) = min(d, d(s,u)+1+d(v,t), d(s,v)+1+d(u,t))
+        σ'(s,t) = Σ over the branches attaining d' (old σ on both
+                  sides of the new edge; branch families are disjoint
+                  because they differ in the traversal direction)
+
+    — one broadcast join pass per inserted edge, no fixpoint loop; a
+    batch applies its edges sequentially (the reference's updateBatch
+    loops update() the same way)."""
+    from networkit_spark.streaming.events import apply_events
+
+    if not _batch_is_incremental(events):
+        raise ValueError("DynBetweennessOneNode supports insertions only")
+    if _readds_existing_edge(state.graph, events):
+        # re-adding an edge only bumps its weight; in the hop metric the
+        # closed form would double-count σ through it — rebuild instead
+        raise ValueError(
+            "batch re-adds an existing edge; rebuild with "
+            "betweenness_one_node_state"
+        )
+    new_graph = apply_events(state.graph, events)
+    # keep the event's own orientation (directed graphs insert u→v;
+    # undirected expansion happens via `ends` below)
+    added = (
+        events.where(F.col("kind") == EDGE_ADDITION)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .collect()
+    )
+    pairs = state.pairs
+    directed = state.graph.directed
+    inf = F.lit(float("inf"))
+    for r in added:
+        u, v = int(r["src"]), int(r["dst"])
+        ends = [(u, v)] if directed else [(u, v), (v, u)]
+        cand = None
+        for a, b in ends:
+            sa = pairs.where(F.col("dst") == a).select(
+                "src", F.col("dist").alias("d_sa"), F.col("sigma").alias("s_sa")
+            )
+            bt = pairs.where(F.col("src") == b).select(
+                F.col("dst"), F.col("dist").alias("d_bt"), F.col("sigma").alias("s_bt")
+            )
+            part = sa.crossJoin(bt).select(
+                "src",
+                "dst",
+                (F.col("d_sa") + 1 + F.col("d_bt")).alias("cd"),
+                (F.col("s_sa") * F.col("s_bt")).alias("cs"),
+            )
+            cand = part if cand is None else cand.unionByName(part)
+        # combine the (up to two) branches per pair at their min: the
+        # min distance first, then the σ mass of branches attaining it
+        best = cand.groupBy("src", "dst").agg(F.min("cd").alias("mind"))
+        cand = (
+            cand.join(best, ["src", "dst"])
+            .where(F.col("cd") == F.col("mind"))
+            .groupBy("src", "dst")
+            .agg(F.min("cd").alias("cd"), F.sum("cs").alias("cs"))
+        )
+        merged = pairs.join(cand, ["src", "dst"], "full_outer").select(
+            "src",
+            "dst",
+            F.least(
+                F.coalesce(F.col("dist").cast("double"), inf),
+                F.coalesce(F.col("cd").cast("double"), inf),
+            ).alias("nd"),
+            (
+                F.when(
+                    F.coalesce(F.col("dist").cast("double"), inf)
+                    == F.least(
+                        F.coalesce(F.col("dist").cast("double"), inf),
+                        F.coalesce(F.col("cd").cast("double"), inf),
+                    ),
+                    F.coalesce("sigma", F.lit(0.0)),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.coalesce(F.col("cd").cast("double"), inf)
+                    == F.least(
+                        F.coalesce(F.col("dist").cast("double"), inf),
+                        F.coalesce(F.col("cd").cast("double"), inf),
+                    ),
+                    F.coalesce("cs", F.lit(0.0)),
+                ).otherwise(F.lit(0.0))
+            ).alias("nsigma"),
+        )
+        pairs = (
+            merged.where(F.col("nd") != inf)
+            .select(
+                "src",
+                "dst",
+                F.col("nd").cast("int").alias("dist"),
+                F.col("nsigma").alias("sigma"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return BetweennessOneNodeState(new_graph, state.x, pairs)

@@ -9,6 +9,8 @@ from networkit_spark.graph import EdgeGraph
 from networkit_spark.operators.betweenness import betweenness
 from networkit_spark.operators.bfs import bfs, sssp
 from networkit_spark.streaming.dyndist import (
+    betweenness_one_node_state,
+    incremental_betweenness_one_node,
     betweenness_state,
     incremental_betweenness,
     incremental_sssp,
@@ -244,3 +246,55 @@ def test_weighted_readdition_takes_static_path(spark):
     got = {r["node"]: r["dist"] for r in d1.collect()}
     assert got == pytest.approx(want)
     assert got[2] == pytest.approx(2.0)
+
+
+def test_betweenness_one_node_matches_exact(spark):
+    g = _path_graph(spark, n=6)
+    st = betweenness_one_node_state(g, x=2)
+    exact = {
+        r["node"]: r["score"] for r in betweenness(g).collect()
+    }
+    assert st.bcx() == pytest.approx(exact[2])
+
+
+def test_dyn_betweenness_one_node_insertion_matches_static(spark):
+    g = _path_graph(spark, n=8)
+    st = betweenness_one_node_state(g, x=3)
+    ev = _events(spark, [(1, "EDGE_ADDITION", 0, 6, 1.0)])
+    st2 = incremental_betweenness_one_node(st, ev)
+    g2 = st2.graph
+    exact = {r["node"]: r["score"] for r in betweenness(g2).collect()}
+    assert st2.bcx() == pytest.approx(exact[3])
+    # the whole sigma table must match a cold rebuild, not just bcx
+    cold = betweenness_one_node_state(g2, x=3)
+    got = sorted(map(tuple, st2.pairs.collect()))
+    want = sorted(map(tuple, cold.pairs.collect()))
+    assert got == want
+
+
+def test_dyn_betweenness_one_node_batch_two_edges(spark):
+    g = _path_graph(spark, n=7)
+    st = betweenness_one_node_state(g, x=2)
+    ev = _events(
+        spark,
+        [(1, "EDGE_ADDITION", 0, 4, 1.0), (1, "EDGE_ADDITION", 1, 6, 1.0)],
+    )
+    st2 = incremental_betweenness_one_node(st, ev)
+    cold = betweenness_one_node_state(st2.graph, x=2)
+    assert st2.bcx() == pytest.approx(cold.bcx())
+    got = sorted(map(tuple, st2.pairs.collect()))
+    want = sorted(map(tuple, cold.pairs.collect()))
+    assert got == want
+
+
+def test_dyn_betweenness_one_node_rejects_removals_and_readds(spark):
+    g = _path_graph(spark, n=5)
+    st = betweenness_one_node_state(g, x=2)
+    with pytest.raises(ValueError):
+        incremental_betweenness_one_node(
+            st, _events(spark, [(1, "EDGE_REMOVAL", 0, 1, 1.0)])
+        )
+    with pytest.raises(ValueError):
+        incremental_betweenness_one_node(
+            st, _events(spark, [(1, "EDGE_ADDITION", 0, 1, 1.0)])
+        )

@@ -175,3 +175,60 @@ def test_ivf_topk_recall(spark, emb):
         for r in similarity.ivf_topk(emb, k=3, n_centroids=6, nprobe=3).collect()
     }
     assert again == a
+
+
+def test_contamination_hits_python_oracle(spark):
+    from networkit_spark.functions import decontaminate as dc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox sleeps all day long"),
+            (4, "completely unrelated text about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("q1", "what does the quick brown fox do")],
+        "qid string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["n_shingles"])
+        for r in dc.contamination_hits(
+            docs, bench, n=3, bench_text_col="text"
+        ).collect()
+    }
+
+    def grams(s, n=3):
+        t = s.lower().split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bg = grams("what does the quick brown fox do")
+    for did, text in [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox sleeps all day long"),
+    ]:
+        g = grams(text)
+        assert out[did] == (len(g & bg), len(g))
+    assert 2 not in out and 4 not in out
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    from networkit_spark.functions import decontaminate as dc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b", "alpha beta gamma epsilon")], "qid string, text string"
+    )
+    kept = dc.decontaminate(docs, bench, n=3).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {2}
+    # min_hits above the overlap keeps everything
+    kept2 = dc.decontaminate(docs, bench, n=3, min_hits=5).count()
+    assert kept2 == 2
