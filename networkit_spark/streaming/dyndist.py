@@ -701,3 +701,264 @@ def incremental_betweenness_one_node(
             .localCheckpoint(eager=True)
         )
     return BetweennessOneNodeState(new_graph, state.x, pairs)
+
+
+# ---------------------------------------------------------------------------
+# DynApproxBetweenness
+# ---------------------------------------------------------------------------
+
+
+class ApproxBetweennessState:
+    """Resumable ε-δ sampled betweenness
+    (``cpp/centrality/DynApproxBetweenness.h:23-80``): the reference
+    stores the sampled (s,t) pairs plus a DynSSSP tree per sample and
+    patches affected samples after each batch.  Spark state: the pair
+    list and TWO keyed σ-BFS tables — ``fw`` (s, node, dist, σ from s)
+    and ``bw`` (t, node, dist, σ INTO t) — everything else (per-pair
+    d_st, σ_st, per-node contributions) derives by joins, so updates
+    only ever touch the two keyed tables."""
+
+    def __init__(
+        self,
+        graph: EdgeGraph,
+        pairs: list[tuple[int, int, int]],
+        fw: DataFrame,
+        bw: DataFrame,
+    ):
+        self.graph = graph
+        self.pairs = pairs  # (pid, s, t)
+        self.fw = fw
+        self.bw = bw
+
+    def scores(self) -> DataFrame:
+        """(node, score) — normalized betweenness: mean over usable
+        samples of the Rao–Blackwellized path probability
+        σ_s(v)·σ_t(v)/σ_st (same estimator as
+        ``operators/approx_centrality.approx_betweenness``)."""
+        spark = self.graph.spark
+        pdf = spark.createDataFrame(self.pairs, "pid long, s long, t long")
+        st = pdf.join(
+            self.fw.select(
+                "s",
+                F.col("node").alias("t"),
+                F.col("dist").alias("d_st"),
+                F.col("sigma").alias("sigma_st"),
+            ),
+            ["s", "t"],
+        )
+        used = st.count()
+        contrib = (
+            st.alias("p")
+            .join(self.fw.alias("f"), F.col("p.s") == F.col("f.s"))
+            .join(
+                self.bw.alias("b"),
+                (F.col("p.t") == F.col("b.t"))
+                & (F.col("f.node") == F.col("b.node")),
+            )
+            .where(
+                (F.col("f.dist") + F.col("b.dist") == F.col("p.d_st"))
+                & (F.col("f.node") != F.col("p.s"))
+                & (F.col("f.node") != F.col("p.t"))
+            )
+            .groupBy(F.col("f.node").alias("node"))
+            .agg(F.sum(F.col("f.sigma") * F.col("b.sigma") / F.col("p.sigma_st")).alias("p"))
+        )
+        return self.graph.vertices().join(
+            contrib, F.col("id") == F.col("node"), "left"
+        ).select(
+            F.col("id").alias("node"),
+            (F.coalesce("p", F.lit(0.0)) / F.lit(max(used, 1))).alias("score"),
+        )
+
+
+def _keyed_sigma_bfs(sym: DataFrame, sources: list[int], key: str) -> DataFrame:
+    """(key, node, dist, sigma) — all sources advance together."""
+    spark = sym.sparkSession
+    cur = spark.createDataFrame(
+        [(int(s), int(s), 0, 1.0) for s in sorted(set(sources))],
+        f"{key} long, node long, dist int, sigma double",
+    ).localCheckpoint(eager=True)
+    out, d = cur, 0
+    while True:
+        d += 1
+        nxt = (
+            sym.join(cur.withColumnRenamed("node", "src"), "src")
+            .groupBy(key, F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(out.select(key, "node"), [key, "node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .select(key, "node", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return out
+        out = out.unionByName(nxt).localCheckpoint(eager=True)
+        cur = nxt
+
+
+def approx_betweenness_state(
+    graph: EdgeGraph,
+    epsilon: float = 0.1,
+    delta: float = 0.1,
+    seed: int = 42,
+    max_samples: int | None = None,
+) -> ApproxBetweennessState:
+    """``DynApproxBetweenness::run``: r = (c/ε²)(⌊log₂(VD−2)⌋+1−ln δ)
+    sampled pairs (the reference's RK bound), two keyed σ-BFS sweeps."""
+    import hashlib
+    import math as _m
+
+    from networkit_spark.graph import random_nodes
+    from networkit_spark.operators.bfs import diameter_range
+
+    n = max(graph.num_nodes(), 3)
+    _, hi = diameter_range(graph)
+    vd = max(hi + 1, 3)
+    r = int(_m.ceil(0.5 / (epsilon * epsilon) * (_m.floor(_m.log2(vd - 2)) + 1 - _m.log(delta))))
+    if max_samples is not None:
+        r = min(r, max_samples)
+    r = max(r, 1)
+    base = random_nodes(graph, k=min(2 * r + 8, n), seed=seed)
+
+    def _pick(tag: str, i: int) -> int:
+        h = hashlib.md5(f"{seed}:dab:{tag}:{i}".encode()).hexdigest()
+        return base[int(h, 16) % len(base)]
+
+    pairs = []
+    for i in range(r):
+        s, t = _pick("s", i), _pick("t", i)
+        if s != t:
+            pairs.append((i, s, t))
+    sym = graph.sym().select("src", "dst").persist()
+    tsym = (
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if graph.directed
+        else sym
+    )
+    fw = _keyed_sigma_bfs(sym, [s for _, s, _ in pairs], "s")
+    bw = _keyed_sigma_bfs(tsym, [t for _, _, t in pairs], "t")
+    sym.unpersist()
+    return ApproxBetweennessState(graph, pairs, fw, bw)
+
+
+def _closed_form_edge_update(
+    keyed: DataFrame, key: str, thru: DataFrame
+) -> DataFrame:
+    """Apply d'(k,w) = min(d, d(k,a) + 1 + d_b(w)) with the matching σ
+    rule to a keyed σ-table.  ``thru`` = (key, node, cd, cs) candidate
+    routes through the new edge (possibly two orientations already
+    unioned); combines ties then min-merges with the old table."""
+    best = thru.groupBy(key, "node").agg(F.min("cd").alias("mind"))
+    cand = (
+        thru.join(best, [key, "node"])
+        .where(F.col("cd") == F.col("mind"))
+        .groupBy(key, "node")
+        .agg(F.min("cd").alias("cd"), F.sum("cs").alias("cs"))
+    )
+    inf = F.lit(float("inf"))
+    od = F.coalesce(F.col("dist").cast("double"), inf)
+    cd = F.coalesce(F.col("cd").cast("double"), inf)
+    nd = F.least(od, cd)
+    merged = keyed.join(cand, [key, "node"], "full_outer").select(
+        key,
+        "node",
+        nd.alias("nd"),
+        (
+            F.when(od == nd, F.coalesce("sigma", F.lit(0.0))).otherwise(F.lit(0.0))
+            + F.when(cd == nd, F.coalesce("cs", F.lit(0.0))).otherwise(F.lit(0.0))
+        ).alias("nsigma"),
+    )
+    return (
+        merged.where(F.col("nd") != inf)
+        .select(
+            key,
+            "node",
+            F.col("nd").cast("int").alias("dist"),
+            F.col("nsigma").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def incremental_approx_betweenness(
+    state: ApproxBetweennessState, events: DataFrame
+) -> ApproxBetweennessState:
+    """``DynApproxBetweenness::update`` (insertions only): instead of
+    re-running DynSSSP per sample, ONE σ-BFS from each new-edge
+    endpoint (old graph) feeds the closed form
+    d'(s,w) = min(d(s,w), d(s,u) + 1 + d_v(w)) for ALL samples at once
+    — the per-edge cost is 2 single-source sweeps + keyed joins,
+    independent of the sample count r."""
+    from networkit_spark.operators.approx_centrality import _sigma_bfs
+    from networkit_spark.streaming.events import apply_events
+
+    if not _batch_is_incremental(events):
+        raise ValueError("DynApproxBetweenness supports insertions only")
+    if _readds_existing_edge(state.graph, events):
+        raise ValueError(
+            "batch re-adds an existing edge; rebuild with approx_betweenness_state"
+        )
+    graph = state.graph
+    fw, bw = state.fw, state.bw
+    added = (
+        events.where(F.col("kind") == EDGE_ADDITION)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .collect()
+    )
+    for r in added:
+        u, v = int(r["src"]), int(r["dst"])
+        sym = graph.sym().select("src", "dst").persist()
+        tsym = (
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            if graph.directed
+            else sym
+        )
+        ends = [(u, v)] if graph.directed else [(u, v), (v, u)]
+        fw_thru = None
+        bw_thru = None
+        for a, b in ends:
+            dvb = _sigma_bfs(sym, b)  # dist/σ FROM b (old graph)
+            dra = _sigma_bfs(tsym, a)  # dist/σ INTO a (old graph)
+            f_part = (
+                fw.where(F.col("node") == a)
+                .select("s", F.col("dist").alias("d_sa"), F.col("sigma").alias("s_sa"))
+                .crossJoin(
+                    dvb.select(
+                        F.col("node"), F.col("dist").alias("d_bw"),
+                        F.col("sigma").alias("s_bw"),
+                    )
+                )
+                .select(
+                    "s",
+                    "node",
+                    (F.col("d_sa") + 1 + F.col("d_bw")).alias("cd"),
+                    (F.col("s_sa") * F.col("s_bw")).alias("cs"),
+                )
+            )
+            fw_thru = f_part if fw_thru is None else fw_thru.unionByName(f_part)
+            b_part = (
+                bw.where(F.col("node") == b)
+                .select("t", F.col("dist").alias("d_bt"), F.col("sigma").alias("s_bt"))
+                .crossJoin(
+                    dra.select(
+                        F.col("node"), F.col("dist").alias("d_xa"),
+                        F.col("sigma").alias("s_xa"),
+                    )
+                )
+                .select(
+                    "t",
+                    "node",
+                    (F.col("d_xa") + 1 + F.col("d_bt")).alias("cd"),
+                    (F.col("s_xa") * F.col("s_bt")).alias("cs"),
+                )
+            )
+            bw_thru = b_part if bw_thru is None else bw_thru.unionByName(b_part)
+        fw = _closed_form_edge_update(fw, "s", fw_thru)
+        bw = _closed_form_edge_update(bw, "t", bw_thru)
+        sym.unpersist()
+        one = graph.spark.createDataFrame(
+            [(0, EDGE_ADDITION, u, v, 1.0)],
+            "batch long, kind string, u long, v long, w double",
+        )
+        graph = apply_events(graph, one)
+    return ApproxBetweennessState(graph, state.pairs, fw, bw)

@@ -298,3 +298,56 @@ def test_dyn_betweenness_one_node_rejects_removals_and_readds(spark):
         incremental_betweenness_one_node(
             st, _events(spark, [(1, "EDGE_ADDITION", 0, 1, 1.0)])
         )
+
+
+def test_dyn_approx_betweenness_insertion_matches_cold_rebuild(spark):
+    from networkit_spark.streaming.dyndist import (
+        approx_betweenness_state,
+        incremental_approx_betweenness,
+    )
+
+    g = _path_graph(spark, n=8)
+    st = approx_betweenness_state(g, epsilon=0.35, delta=0.3, seed=5, max_samples=10)
+    ev = _events(spark, [(1, "EDGE_ADDITION", 0, 5, 1.0)])
+    st2 = incremental_approx_betweenness(st, ev)
+    # the same seed on the post-event graph draws the same pairs (no
+    # node additions), so warm fw/bw must equal a cold rebuild exactly
+    cold = approx_betweenness_state(
+        st2.graph, epsilon=0.35, delta=0.3, seed=5, max_samples=10
+    )
+    assert st2.pairs == cold.pairs
+    assert sorted(map(tuple, st2.fw.collect())) == sorted(map(tuple, cold.fw.collect()))
+    assert sorted(map(tuple, st2.bw.collect())) == sorted(map(tuple, cold.bw.collect()))
+    warm = {r["node"]: r["score"] for r in st2.scores().collect()}
+    coldsc = {r["node"]: r["score"] for r in cold.scores().collect()}
+    assert warm == pytest.approx(coldsc)
+
+
+def test_dyn_approx_betweenness_scores_sane(spark):
+    from networkit_spark.streaming.dyndist import approx_betweenness_state
+
+    g = _path_graph(spark, n=6)
+    st = approx_betweenness_state(g, epsilon=0.35, delta=0.3, seed=2, max_samples=12)
+    scores = {r["node"]: r["score"] for r in st.scores().collect()}
+    assert set(scores) == set(range(6))
+    assert all(0.0 <= v <= 1.0 for v in scores.values())
+    # on a path, interior nodes dominate endpoints
+    assert max(scores[0], scores[5]) <= min(scores[2], scores[3]) + 1e-12
+
+
+def test_dyn_approx_betweenness_rejects_bad_batches(spark):
+    from networkit_spark.streaming.dyndist import (
+        approx_betweenness_state,
+        incremental_approx_betweenness,
+    )
+
+    g = _path_graph(spark, n=5)
+    st = approx_betweenness_state(g, epsilon=0.4, delta=0.3, seed=1, max_samples=6)
+    with pytest.raises(ValueError):
+        incremental_approx_betweenness(
+            st, _events(spark, [(1, "EDGE_REMOVAL", 0, 1, 1.0)])
+        )
+    with pytest.raises(ValueError):
+        incremental_approx_betweenness(
+            st, _events(spark, [(1, "EDGE_ADDITION", 0, 1, 1.0)])
+        )
