@@ -231,3 +231,37 @@ def streaming_hourly_counts(spark, source_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def graph_difference(g1: EdgeGraph, g2: EdgeGraph) -> DataFrame:
+    """``GraphDifference`` (``cpp/dynamics/GraphDifference.{h,cpp}``):
+    the edit script of GraphEvents that transforms ``g1`` into ``g2``
+    — EDGE_REMOVAL for edges only in g1, EDGE_ADDITION (carrying g2's
+    weight) for edges only in g2; like the reference, weight-only
+    differences are NOT detected and directed graphs are rejected.
+
+    One full-outer join on the canonical (src, dst) key — each side is
+    scanned once, the join shuffles on the edge key only.  The result
+    feeds ``apply_events`` directly (batch 1); a roundtrip
+    ``apply_events(g1, graph_difference(g1, g2)) ≡ g2`` is the test
+    contract."""
+    if g1.directed or g2.directed:
+        raise ValueError("GraphDifference supports undirected graphs only")
+    a = g1.edges.select("src", "dst", F.col("weight").alias("w1"))
+    b = g2.edges.select("src", "dst", F.col("weight").alias("w2"))
+    j = a.join(b, ["src", "dst"], "full_outer")
+    removals = j.where(F.col("w2").isNull()).select(
+        F.lit(1).alias("batch"),
+        F.lit(EDGE_REMOVAL).alias("kind"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    additions = j.where(F.col("w1").isNull()).select(
+        F.lit(1).alias("batch"),
+        F.lit(EDGE_ADDITION).alias("kind"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("w2").alias("w"),
+    )
+    return removals.unionByName(additions)

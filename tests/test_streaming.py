@@ -207,3 +207,47 @@ def test_node_removal_drops_incident_edges(spark):
     left = {(r["src"], r["dst"]) for r in g2.edges.collect()}
     assert left == {(2, 3), (0, 3)}
     assert 1 not in {r["id"] for r in g2.vertices().collect()}
+
+
+def test_graph_difference_roundtrip(spark):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.streaming.events import apply_events, graph_difference
+
+    g1 = EdgeGraph.from_edges(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0)],
+            "src long, dst long, weight double",
+        )
+    )
+    g2 = EdgeGraph.from_edges(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (2, 3, 1.0), (3, 4, 5.0), (0, 2, 1.5)],
+            "src long, dst long, weight double",
+        )
+    )
+    edits = graph_difference(g1, g2)
+    kinds = {(r["kind"], r["u"], r["v"]) for r in edits.collect()}
+    assert kinds == {
+        ("EDGE_REMOVAL", 1, 2),
+        ("EDGE_ADDITION", 3, 4),
+        ("EDGE_ADDITION", 0, 2),
+    }
+    g1b = apply_events(g1, edits)
+    got = sorted(map(tuple, g1b.edges.collect()))
+    want = sorted(map(tuple, g2.edges.collect()))
+    assert got == want
+    # identical graphs -> empty edit script
+    assert graph_difference(g2, g2).count() == 0
+
+
+def test_graph_difference_rejects_directed(spark):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.streaming.events import graph_difference
+
+    e = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
+    d = EdgeGraph.from_edges(e, directed=True)
+    u = EdgeGraph.from_edges(e)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        graph_difference(d, u)
