@@ -31,6 +31,7 @@ def read_edge_list(
     continuous: bool = True,
     directed: bool = False,
     weighted_dedup: str = "sum",
+    problem_prefix: str | None = None,
 ) -> EdgeGraph:
     """Read ``u<sep>v[<sep>w]`` lines into an EdgeGraph.
 
@@ -45,6 +46,8 @@ def read_edge_list(
             (F.col("line") != "") & (~F.col("line").startswith(comment_prefix))
         )
     )
+    if problem_prefix is not None:
+        lines = lines.where(~F.col("line").startswith(problem_prefix))
     parts = lines.select(F.split("line", separator).alias("p"))
     e = parts.select(
         F.try_element_at("p", F.lit(1)).alias("su"),
@@ -74,8 +77,14 @@ def read_edge_list(
 
 def read_snap(spark: SparkSession, path: str, directed: bool = True) -> EdgeGraph:
     """SNAP edge lists (e.g. wiki-Vote.txt): tab/space separated, ``#``
-    comments, directed by default (``cpp/io/SNAPGraphReader.cpp``)."""
-    return read_edge_list(spark, path, separator=r"\s+", comment_prefix="#", directed=directed)
+    comments, directed by default (``cpp/io/SNAPGraphReader.cpp``).
+    Also tolerates the ``p n m ...`` problem line that
+    ``SNAPGraphWriter`` emits, so writer output roundtrips."""
+    g = read_edge_list(
+        spark, path, separator=r"\s+", comment_prefix="#", directed=directed,
+        problem_prefix="p ",
+    )
+    return g
 
 
 def read_konect(
@@ -113,3 +122,53 @@ def write_partition(labels: DataFrame, path: str) -> None:
 
 def read_partition(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_snap(graph: EdgeGraph, path: str) -> None:
+    """``SNAPGraphWriter`` (``cpp/io/SNAPGraphWriter.cpp:13-25``):
+    problem line ``p n m u u 0`` then one ``u v`` line per edge —
+    driver-side single-stream text, same class as the GML writer."""
+    n = graph.num_nodes()
+    m = graph.num_edges()
+    rows = graph.edges.select("src", "dst").orderBy("src", "dst").collect()
+    with open(path, "w") as fh:
+        fh.write(f"p {n} {m} u u 0\n")
+        for r in rows:
+            fh.write(f"{r['src']} {r['dst']}\n")
+
+
+def write_binary_partition(labels: DataFrame, path: str, width: int = 8) -> None:
+    """``BinaryPartitionWriter`` (``cpp/io/BinaryPartitionWriter.cpp``):
+    node i's label as a little-endian ``width``-byte integer at offset
+    i·width.  Requires the node ids to be exactly 0..n−1 (the
+    reference indexes by position).  Single binary file ⇒ driver-side,
+    documented like the reference's."""
+    import numpy as np
+
+    if width not in (4, 8):
+        raise ValueError("Only width 4 and 8 are supported")
+    rows = labels.select("node", "label").orderBy("node").collect()
+    n = len(rows)
+    if n and (rows[0]["node"] != 0 or rows[-1]["node"] != n - 1):
+        raise ValueError("binary partition requires dense node ids 0..n-1")
+    arr = np.array([r["label"] for r in rows], dtype="<u4" if width == 4 else "<u8")
+    if width == 4 and n and int(arr.max(initial=0)) != max(r["label"] for r in rows):
+        raise ValueError("labels exceed 32-bit range; use width=8")
+    arr.tofile(path)
+
+
+def read_binary_partition(spark: SparkSession, path: str, width: int = 8) -> DataFrame:
+    """``BinaryPartitionReader`` — (node, label) from the fixed-width
+    little-endian file; length must be a multiple of the width."""
+    import os
+
+    import numpy as np
+
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    if os.path.getsize(path) % width != 0:
+        raise ValueError("length of partition file must be a multiple of the width")
+    arr = np.fromfile(path, dtype="<u4" if width == 4 else "<u8")
+    return spark.createDataFrame(
+        [(i, int(p)) for i, p in enumerate(arr)], "node long, label long"
+    )

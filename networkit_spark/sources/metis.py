@@ -64,3 +64,42 @@ def read_metis(spark: SparkSession, path: str) -> EdgeGraph:
     # each undirected edge appears in both endpoint lines → canonicalize
     # with 'first' policy (weights are symmetric duplicates, not multi-edges)
     return EdgeGraph(canonicalize(e, weighted_dedup="first"), directed=False, weighted=weighted)
+
+
+def write_metis(graph: EdgeGraph, path: str, weighted: bool | None = None) -> None:
+    """``METISGraphWriter`` (``cpp/io/METISGraphWriter.cpp:15-60``):
+    header ``n m weighted``, then line i = the (1-based) neighbors of
+    node i−1, with ``v w`` pairs when weighted.  Requires undirected
+    input (the reference throws on directed).  Node ids are compacted
+    to 0..n−1 in ascending-id order (the reference's
+    ``getContinuousNodeIds``).  Single-stream text format ⇒ driver-side
+    serialization, like the reference's and like the GML/DGS writers
+    here; adjacency is ASSEMBLED distributed (one groupBy) and only the
+    per-node lines are collected."""
+    if graph.directed:
+        raise ValueError("METIS does not support directed graphs")
+    if weighted is None:
+        weighted = graph.weighted
+    ids = [r["id"] for r in graph.vertices().orderBy("id").collect()]
+    remap = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    m = graph.edges.where(F.col("src") != F.col("dst")).count()
+    rows = (
+        graph.sym()
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list(F.struct("dst", "weight"))).alias("nbrs"))
+        .collect()
+    )
+    adj = {int(r["src"]): r["nbrs"] for r in rows}
+    with open(path, "w") as fh:
+        fh.write(f"{n} {m} {int(bool(weighted))}\n")
+        for v in ids:
+            nbrs = adj.get(int(v), [])
+            if weighted:
+                parts = [
+                    f"{remap[int(nb['dst'])] + 1} {nb['weight']:g}" for nb in nbrs
+                ]
+            else:
+                parts = [str(remap[int(nb["dst"])] + 1) for nb in nbrs]
+            fh.write(" ".join(parts) + "\n")

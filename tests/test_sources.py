@@ -217,3 +217,95 @@ def test_read_graph_mtx_dispatch(spark, tmp_path):
     p.write_text("%%MatrixMarket matrix coordinate real general\n2 2 1\n1 2 3.0\n")
     g = read_graph(spark, str(p))
     assert g.directed and g.num_edges() == 1
+
+
+def test_metis_writer_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.sources.metis import read_metis, write_metis
+
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 1.0), (0, 3, 4.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = EdgeGraph.from_edges(e)
+    p = str(tmp_path / "g.metis")
+    write_metis(g, p, weighted=True)
+    with open(p) as fh:
+        assert fh.readline().strip() == "4 4 1"
+    g2 = read_metis(spark, p)
+    got = sorted(map(tuple, g2.edges.collect()))
+    want = sorted(map(tuple, g.edges.collect()))
+    assert got == want
+
+
+def test_metis_writer_unweighted_and_noncontinuous_ids(spark, tmp_path):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.sources.metis import read_metis, write_metis
+
+    # ids 5,7,9 -> compacted to 0,1,2 on write
+    e = spark.createDataFrame(
+        [(5, 7, 1.0), (7, 9, 1.0)], "src long, dst long, weight double"
+    )
+    g = EdgeGraph.from_edges(e)
+    p = str(tmp_path / "g2.metis")
+    write_metis(g, p, weighted=False)
+    g2 = read_metis(spark, p)
+    assert sorted(map(tuple, g2.edges.collect())) == [
+        (0, 1, 1.0),
+        (1, 2, 1.0),
+    ]
+
+
+def test_metis_writer_rejects_directed(spark, tmp_path):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.sources.metis import write_metis
+
+    e = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
+    g = EdgeGraph.from_edges(e, directed=True)
+    with pytest.raises(ValueError):
+        write_metis(g, str(tmp_path / "x.metis"))
+
+
+def test_snap_writer_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.sources.edgelist import read_snap, write_snap
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    g = EdgeGraph.from_edges(e)
+    p = str(tmp_path / "g.snap")
+    write_snap(g, p)
+    with open(p) as fh:
+        assert fh.readline().startswith("p 3 2")
+    g2 = read_snap(spark, p, directed=False)
+    assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == [
+        (0, 1),
+        (1, 2),
+    ]
+
+
+def test_binary_partition_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.edgelist import (
+        read_binary_partition,
+        write_binary_partition,
+    )
+
+    labels = spark.createDataFrame(
+        [(0, 3), (1, 3), (2, 70000)], "node long, label long"
+    )
+    for width in (4, 8):
+        p = str(tmp_path / f"part{width}.bin")
+        write_binary_partition(labels, p, width=width)
+        import os
+
+        assert os.path.getsize(p) == 3 * width
+        back = {
+            r["node"]: r["label"]
+            for r in read_binary_partition(spark, p, width=width).collect()
+        }
+        assert back == {0: 3, 1: 3, 2: 70000}
+    # sparse node ids rejected
+    sparse = spark.createDataFrame([(0, 1), (2, 1)], "node long, label long")
+    with pytest.raises(ValueError):
+        write_binary_partition(sparse, str(tmp_path / "bad.bin"))
