@@ -132,3 +132,137 @@ def nmi(a: DataFrame, b: DataFrame) -> float:
     if mx == 0:
         return 1.0
     return mi / mx
+
+
+def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(node, label) — the coarsest partition refining both inputs
+    (``cpp/community/PartitionIntersection.cpp``): nodes share a label
+    iff they share one in ``a`` AND in ``b``.  Labels are compacted to
+    0..k−1 in (la, lb) order (the reference's ``result.compact()``);
+    nodes present in only one input are dropped, like the reference's
+    ``contains`` guard.  Shape: one join + one dense-id assignment over
+    the DISTINCT pair set (bounded by #clusters², not n)."""
+    from networkit_spark.graph import assign_dense_ids
+
+    joined = a.select("node", F.col("label").alias("la")).join(
+        b.select("node", F.col("label").alias("lb")), "node"
+    )
+    pairs = joined.select(F.struct("la", "lb").alias("_k")).distinct()
+    ids = assign_dense_ids(pairs, "_k").select(
+        F.col("_k.la").alias("la"), F.col("_k.lb").alias("lb"), F.col("id").alias("label")
+    )
+    return joined.join(ids, ["la", "lb"]).select("node", "label")
+
+
+def graph_rand_index(graph, a: DataFrame, b: DataFrame) -> float:
+    """GraphStructuralRandMeasure similarity
+    (``cpp/community/GraphStructuralRandMeasure.cpp``): the fraction of
+    EDGES on which the two partitions agree (both together or both
+    apart).  Exact and fully distributed — one edge-to-labels join."""
+    e = graph.edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    la = a.select(F.col("node").alias("src"), F.col("label").alias("a_u"))
+    lb = b.select(F.col("node").alias("src"), F.col("label").alias("b_u"))
+    la2 = a.select(F.col("node").alias("dst"), F.col("label").alias("a_v"))
+    lb2 = b.select(F.col("node").alias("dst"), F.col("label").alias("b_v"))
+    row = (
+        e.join(la, "src").join(lb, "src").join(la2, "dst").join(lb2, "dst")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(
+                ((F.col("a_u") == F.col("a_v")) == (F.col("b_u") == F.col("b_v")))
+                .cast("long")
+            ).alias("agree"),
+        )
+        .collect()[0]
+    )
+    return 1.0 if not row["m"] else row["agree"] / row["m"]
+
+
+def sampled_node_rand(
+    graph, a: DataFrame, b: DataFrame, max_samples: int = 1000, seed: int = 42
+) -> float:
+    """SampledNodeStructuralRandMeasure similarity
+    (``cpp/community/SampledNodeStructuralRandMeasure.cpp``): the
+    node-structural Rand index estimated on ``max_samples`` random node
+    pairs.  Deviation: the reference rejection-samples uniform id pairs
+    with a global RNG; here both endpoints are drawn by seeded-hash
+    TakeOrdered (deterministic, distributed — no driver loop), paired by
+    rank, and self-pairs dropped."""
+    from pyspark.sql.window import Window
+
+    verts = graph.vertices().select(F.col("id").alias("node"))
+    w = Window.orderBy("h")
+
+    def draw(salt: int) -> DataFrame:
+        return (
+            verts.withColumn("h", F.xxhash64("node", F.lit(seed + salt)))
+            .orderBy("h")
+            .limit(max_samples)
+            .withColumn("rn", F.row_number().over(w))  # ≤ max_samples rows
+            .select("rn", "node")
+        )
+
+    pairs = (
+        draw(0).withColumnRenamed("node", "u")
+        .join(draw(1).withColumnRenamed("node", "v"), "rn")
+        .where(F.col("u") != F.col("v"))
+    )
+    la = a.select(F.col("node").alias("u"), F.col("label").alias("a_u"))
+    lb = b.select(F.col("node").alias("u"), F.col("label").alias("b_u"))
+    la2 = a.select(F.col("node").alias("v"), F.col("label").alias("a_v"))
+    lb2 = b.select(F.col("node").alias("v"), F.col("label").alias("b_v"))
+    row = (
+        pairs.join(la, "u").join(lb, "u").join(la2, "v").join(lb2, "v")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.sum(
+                ((F.col("a_u") == F.col("a_v")) == (F.col("b_u") == F.col("b_v")))
+                .cast("long")
+            ).alias("agree"),
+        )
+        .collect()[0]
+    )
+    return 1.0 if not row["s"] else row["agree"] / row["s"]
+
+
+def sampled_graph_rand(
+    graph, a: DataFrame, b: DataFrame, max_samples: int = 1000, seed: int = 42
+) -> float:
+    """SampledGraphStructuralRandMeasure similarity
+    (``cpp/community/SampledGraphStructuralRandMeasure.cpp``): the
+    graph-structural Rand index estimated on ``max_samples`` sampled
+    edges.  Deviation: the reference draws a uniform node then a uniform
+    neighbor (edge probability ∝ 1/deg(u) + 1/deg(v)); here edges are
+    sampled uniformly by seeded hash — deterministic and distributed."""
+    e = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .orderBy(F.xxhash64("src", "dst", F.lit(seed)))
+        .limit(max_samples)
+    )
+    la = a.select(F.col("node").alias("src"), F.col("label").alias("a_u"))
+    lb = b.select(F.col("node").alias("src"), F.col("label").alias("b_u"))
+    la2 = a.select(F.col("node").alias("dst"), F.col("label").alias("a_v"))
+    lb2 = b.select(F.col("node").alias("dst"), F.col("label").alias("b_v"))
+    row = (
+        e.join(la, "src").join(lb, "src").join(la2, "dst").join(lb2, "dst")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.sum(
+                ((F.col("a_u") == F.col("a_v")) == (F.col("b_u") == F.col("b_v")))
+                .cast("long")
+            ).alias("agree"),
+        )
+        .collect()[0]
+    )
+    return 1.0 if not row["s"] else row["agree"] / row["s"]
+
+
+def dynamic_nmi(old: DataFrame, new: DataFrame) -> float:
+    """DynamicNMIDistance similarity
+    (``cpp/community/DynamicNMIDistance.cpp``): NMI restricted to nodes
+    assigned in BOTH clusterings (its ``isInBoth`` guard) — the measure
+    for comparing snapshots of a growing/shrinking dynamic graph.
+    :func:`nmi`'s confusion matrix already inner-joins on node, so the
+    restriction is inherent; this alias documents the dynamic contract."""
+    return nmi(old, new)

@@ -277,3 +277,56 @@ def test_mocnik_matches_bruteforce_oracle(spark):
     g2 = mocnik(spark, dim=2, n=120, k=2.0, seed=5)
     assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == got
     assert {s for s, _ in got} == set(range(120))
+
+
+def test_partition_intersection_refines_both(spark):
+    from networkit_spark.operators.partition_similarity import (
+        partition_intersection,
+    )
+
+    a = _part(spark, [0, 0, 0, 1, 1, 1])
+    b = _part(spark, [0, 0, 1, 1, 2, 2])
+    inter = partition_intersection(a, b).collect()
+    lab = {r["node"]: r["label"] for r in inter}
+    # expected blocks: {0,1} {2} {3} {4,5}
+    assert lab[0] == lab[1] and lab[4] == lab[5]
+    assert len({lab[0], lab[2], lab[3], lab[4]}) == 4
+    # compacted to 0..k-1
+    assert set(lab.values()) == set(range(4))
+    # nodes assigned in only one input are dropped (reference `contains`)
+    b2 = _part(spark, [0, 0, 1])  # nodes 3..5 missing
+    inter2 = partition_intersection(a, b2).collect()
+    assert {r["node"] for r in inter2} == {0, 1, 2}
+
+
+def test_graph_rand_measures_exact_and_sampled(spark):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.partition_similarity import (
+        dynamic_nmi,
+        graph_rand_index,
+        nmi,
+        sampled_graph_rand,
+        sampled_node_rand,
+    )
+
+    # two 4-cliques joined by one edge
+    edges = (
+        [(i, j, 1.0) for i in range(4) for j in range(i + 1, 4)]
+        + [(i, j, 1.0) for i in range(4, 8) for j in range(i + 1, 8)]
+        + [(3, 4, 1.0)]
+    )
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    truth = _part(spark, [0, 0, 0, 0, 1, 1, 1, 1])
+    same = _part(spark, [9, 9, 9, 9, 4, 4, 4, 4])
+    split = _part(spark, [0, 0, 1, 1, 2, 2, 3, 3])
+    assert graph_rand_index(g, truth, same) == pytest.approx(1.0)
+    # disagreeing edges under `split`: within-clique pairs split apart ->
+    # edges (0,2)(0,3)(1,2)(1,3)(4,6)(4,7)(5,6)(5,7) disagree = 8 of 13
+    assert graph_rand_index(g, truth, split) == pytest.approx(5.0 / 13.0)
+    # sampling everything == exact; deterministic under the same seed
+    s1 = sampled_graph_rand(g, truth, split, max_samples=13, seed=7)
+    assert s1 == pytest.approx(5.0 / 13.0)
+    s2 = sampled_node_rand(g, truth, split, max_samples=1000, seed=7)
+    assert s2 == sampled_node_rand(g, truth, split, max_samples=1000, seed=7)
+    assert 0.0 <= s2 <= 1.0
+    assert dynamic_nmi(truth, same) == pytest.approx(nmi(truth, same))
