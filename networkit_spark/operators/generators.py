@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from networkit_spark.graph import EdgeGraph, canonicalize
 
@@ -845,3 +845,314 @@ def mocnik(
         .select(F.col("i").alias("src"), F.col("j").alias("dst"), F.lit(1.0).alias("weight"))
     )
     return EdgeGraph(e, directed=True, weighted=False)
+
+
+def stochastic_blockmodel(
+    spark: SparkSession,
+    membership,
+    affinity: list[list[float]],
+    seed: int = 42,
+) -> EdgeGraph:
+    """``StochasticBlockmodel`` (``cpp/generators/StochasticBlockmodel.cpp``):
+    undirected G where pair (u,v) is an edge with probability
+    ``affinity[block(u)][block(v)]``.  ``membership`` is a (node, block)
+    DataFrame or a list (node i → block).  ``affinity`` must be symmetric
+    (the reference scans pairs in id order, so an asymmetric matrix would
+    make the draw depend on node numbering).
+
+    Spark shape: every block pair (a ≤ b) is an independent Bernoulli
+    index space — |A|·|B| cross pairs or C(|A|,2) diagonal pairs — cut
+    into fixed chunks and sampled with the same counter-based
+    Philox-geometric skips as :func:`erdos_renyi` (work ∝ expected
+    edges, identical at any parallelism); sampled in-block ranks join
+    back to node ids through the per-block rank table."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+    from pyspark.sql.window import Window
+
+    k = len(affinity)
+    for a in range(k):
+        if len(affinity[a]) != k:
+            raise ValueError("affinity matrix must be nBlocks x nBlocks")
+        for b in range(a + 1, k):
+            if affinity[a][b] != affinity[b][a]:
+                raise ValueError("affinity matrix must be symmetric")
+    if not isinstance(membership, DataFrame):
+        membership = spark.createDataFrame(
+            [(i, int(b)) for i, b in enumerate(membership)], "node long, block int"
+        )
+    w = Window.partitionBy("block").orderBy("node")
+    ranked = membership.select(
+        "node", "block", (F.row_number().over(w) - 1).alias("rank")
+    ).localCheckpoint(eager=True)
+    sizes = {
+        int(r["block"]): int(r["n"])
+        for r in ranked.groupBy("block").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    chunk = 1 << 22
+    tasks = []  # (a, b, chunk_id, lo, hi, p)
+    for a in sorted(sizes):
+        for b in sorted(sizes):
+            if b < a:
+                continue
+            p = float(affinity[a][b])
+            if p <= 0.0:
+                continue
+            sa, sb = sizes[a], sizes[b]
+            total = sa * (sa - 1) // 2 if a == b else sa * sb
+            for c in range(0, (total + chunk - 1) // chunk):
+                tasks.append((a, b, c, c * chunk, min((c + 1) * chunk, total), p))
+    if not tasks:
+        e = spark.createDataFrame([], "src long, dst long, weight double")
+        return EdgeGraph(e, directed=False, weighted=False)
+    task_df = spark.createDataFrame(
+        tasks, "a int, b int, c long, lo long, hi long, p double"
+    ).repartition(min(len(tasks), 64))
+    schema = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.IntegerType()),
+            T.StructField("ia", T.LongType()),
+            T.StructField("ib", T.LongType()),
+        ]
+    )
+    szs = dict(sizes)
+
+    def gen(it):
+        for pdf in it:
+            for a, b, c, lo, hi, p in zip(
+                pdf["a"], pdf["b"], pdf["c"], pdf["lo"], pdf["hi"], pdf["p"]
+            ):
+                a, b, lo, hi, p = int(a), int(b), int(lo), int(hi), float(p)
+                if p >= 1.0:
+                    t = np.arange(lo, hi, dtype=np.int64)
+                else:
+                    rng = np.random.Generator(
+                        np.random.Philox(
+                            key=np.array(
+                                [seed, (a << 40) | (b << 20) | int(c)], dtype=np.uint64
+                            )
+                        )
+                    )
+                    est = int((hi - lo) * p * 1.25) + 32
+                    pos, chunks = lo - 1, []
+                    while True:
+                        g = rng.geometric(p, size=est).astype(np.int64)
+                        cum = np.cumsum(g) + pos
+                        chunks.append(cum[cum < hi])
+                        if len(chunks[-1]) < len(g):
+                            break
+                        pos = int(cum[-1])
+                    t = np.concatenate(chunks)
+                if not len(t):
+                    continue
+                if a == b:
+                    n = szs[a]
+                    u = (
+                        ((2.0 * n - 1.0) - np.sqrt((2.0 * n - 1.0) ** 2 - 8.0 * t))
+                        // 2.0
+                    ).astype(np.int64)
+                    for _ in range(3):
+                        cu = u * n - u * (u + 1) // 2
+                        u = np.where(cu > t, u - 1, u)
+                        nxt = (u + 1) * n - (u + 1) * (u + 2) // 2
+                        u = np.where(nxt <= t, u + 1, u)
+                    cu = u * n - u * (u + 1) // 2
+                    yield pd.DataFrame(
+                        {"a": a, "b": b, "ia": u, "ib": u + 1 + (t - cu)}
+                    )
+                else:
+                    sb = szs[b]
+                    yield pd.DataFrame(
+                        {"a": a, "b": b, "ia": t // sb, "ib": t % sb}
+                    )
+
+    sampled = task_df.mapInPandas(gen, schema)
+    ra = ranked.select(
+        F.col("block").alias("a"), F.col("rank").alias("ia"), F.col("node").alias("u")
+    )
+    rb = ranked.select(
+        F.col("block").alias("b"), F.col("rank").alias("ib"), F.col("node").alias("v")
+    )
+    e = (
+        sampled.join(ra, ["a", "ia"])
+        .join(rb, ["b", "ib"])
+        .select(
+            F.least("u", "v").alias("src"),
+            F.greatest("u", "v").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    return EdgeGraph(e, directed=False, weighted=False)
+
+
+def clustered_random_graph(
+    spark: SparkSession, n: int, k: int, pin: float, pout: float, seed: int = 42
+):
+    """``ClusteredRandomGraphGenerator``
+    (``cpp/generators/ClusteredRandomGraphGenerator.cpp``): each node
+    joins a uniform cluster of k; in-cluster pairs connect with ``pin``,
+    cross-cluster with ``pout``.  Returns ``(graph, communities)`` with
+    communities as a (node, label) DataFrame (the reference's
+    ``getCommunities``).  Cluster draws are seeded-hash uniform; edge
+    sampling rides :func:`stochastic_blockmodel`'s skip sampler."""
+    if pin < pout:
+        raise ValueError("pin must be >= pout")
+    membership = spark.range(n).select(
+        F.col("id").alias("node"),
+        (F.abs(F.xxhash64("id", F.lit(seed))) % k).cast("int").alias("block"),
+    ).localCheckpoint(eager=True)
+    affinity = [
+        [pin if a == b else pout for b in range(k)] for a in range(k)
+    ]
+    g = stochastic_blockmodel(spark, membership, affinity, seed=seed + 1)
+    return g, membership.select("node", F.col("block").cast("long").alias("label"))
+
+
+def dynamic_path_events(spark: SparkSession, steps: int) -> DataFrame:
+    """``DynamicPathGenerator`` (``cpp/generators/DynamicPathGenerator.cpp``):
+    one node per step, chained to the previous — the simplest GraphEvent
+    stream.  Deterministic, derived distributed from ``spark.range``."""
+    first = spark.createDataFrame(
+        [(0, "NODE_ADDITION", 0, None, None)],
+        "batch long, kind string, u long, v long, w double",
+    )
+    steps_df = spark.range(1, steps + 1)
+    nodes = steps_df.select(
+        F.col("id").alias("batch"),
+        F.lit("NODE_ADDITION").alias("kind"),
+        F.col("id").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    edges = steps_df.select(
+        F.col("id").alias("batch"),
+        F.lit("EDGE_ADDITION").alias("kind"),
+        (F.col("id") - 1).alias("u"),
+        F.col("id").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    ticks = steps_df.select(
+        F.col("id").alias("batch"),
+        F.lit("TIME_STEP").alias("kind"),
+        F.lit(None).cast("long").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    return first.unionByName(nodes).unionByName(edges).unionByName(ticks)
+
+
+def dynamic_barabasi_albert_events(
+    spark: SparkSession, k: int, steps: int, seed: int = 42
+) -> DataFrame:
+    """``DynamicBarabasiAlbertGenerator``
+    (``cpp/generators/DynamicBarabasiAlbertGenerator.cpp``): seed path of
+    k nodes, then one node per TIME_STEP with k distinct
+    degree-proportional targets (the reference's cumulative-degree scan,
+    including its ``rand <= deg`` inclusive quirk).  Growth is sequential
+    by definition — driver-side with a seeded RNG, metadata-scale (event
+    streams feed the distributed Dyn* consumers; the BULK generator is
+    :func:`barabasi_albert`)."""
+    import random as _random
+
+    if k <= 0:
+        raise ValueError("k must be at least 1")
+    rng = _random.Random(seed)
+    rows = []
+    deg: list[int] = []
+    for i in range(k):
+        rows.append((0, "NODE_ADDITION", i, None, None))
+        deg.append(0)
+        if i > 0:
+            rows.append((0, "EDGE_ADDITION", i - 1, i, 1.0))
+            deg[i - 1] += 1
+            deg[i] += 1
+    rows.append((0, "TIME_STEP", None, None, None))
+    deg_sum = sum(deg)
+    for step in range(1, steps + 1):
+        u = len(deg)
+        deg.append(0)
+        rows.append((step, "NODE_ADDITION", u, None, None))
+        targets: set[int] = set()
+        while len(targets) < k:
+            r = rng.randint(0, deg_sum)
+            for v in range(u):
+                if r <= deg[v]:
+                    targets.add(v)
+                    break
+                r -= deg[v]
+        for v in sorted(targets):
+            rows.append((step, "EDGE_ADDITION", u, v, 1.0))
+            deg[u] += 1
+            deg[v] += 1
+            deg_sum += 2
+        rows.append((step, "TIME_STEP", None, None, None))
+    return spark.createDataFrame(
+        rows, "batch long, kind string, u long, v long, w double"
+    )
+
+
+def dynamic_forest_fire_events(
+    spark: SparkSession,
+    p: float,
+    steps: int,
+    directed: bool = False,
+    r: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """``DynamicForestFireGenerator``
+    (``cpp/generators/DynamicForestFireGenerator.cpp``): each step picks
+    a uniform ambassador and burns BFS-style — at every burned node,
+    neighbors are added one at a time while a Uniform(0,1) draw stays
+    ≤ p (≤ p·r along in-edges when directed) — and the new node links to
+    every burned node.  Sequential by definition ⇒ driver-side seeded
+    RNG, metadata-scale."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = [(0, "NODE_ADDITION", 0, None, None), (0, "TIME_STEP", None, None, None)]
+    out: list[list[int]] = [[]]
+    inn: list[list[int]] = [[]]
+    for step in range(1, steps + 1):
+        a = rng.randrange(len(out))
+        v = len(out)
+        out.append([])
+        inn.append([])
+        rows.append((step, "NODE_ADDITION", v, None, None))
+        visited = {a}
+        queue = [a]
+        burned = [a]
+        qi = 0
+        while qi < len(queue):
+            wn = queue[qi]
+            qi += 1
+            picked: set[int] = set()
+            for nbrs, prob in (
+                ((out[wn], p),) if not directed else ((out[wn], p), (inn[wn], p * r))
+            ):
+                valid = [x for x in nbrs if x not in visited]
+                while True:
+                    q = rng.random()
+                    if q > prob or not valid:
+                        break
+                    idx = rng.randrange(len(valid))
+                    picked.add(valid[idx])
+                    valid[idx] = valid[-1]
+                    valid.pop()
+            for x in sorted(picked):
+                if x not in visited:
+                    queue.append(x)
+                    burned.append(x)
+                    visited.add(x)
+        for wn in burned:
+            rows.append((step, "EDGE_ADDITION", v, wn, 1.0))
+            out[v].append(wn)
+            inn[wn].append(v)
+            if not directed:
+                out[wn].append(v)
+                inn[v].append(wn)
+        rows.append((step, "TIME_STEP", None, None, None))
+    return spark.createDataFrame(
+        rows, "batch long, kind string, u long, v long, w double"
+    )

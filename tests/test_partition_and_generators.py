@@ -330,3 +330,70 @@ def test_graph_rand_measures_exact_and_sampled(spark):
     assert s2 == sampled_node_rand(g, truth, split, max_samples=1000, seed=7)
     assert 0.0 <= s2 <= 1.0
     assert dynamic_nmi(truth, same) == pytest.approx(nmi(truth, same))
+
+
+def test_stochastic_blockmodel_rates_and_determinism(spark):
+    from networkit_spark.operators.generators import stochastic_blockmodel
+
+    n = 300
+    membership = [i % 2 for i in range(n)]
+    aff = [[0.2, 0.01], [0.01, 0.2]]
+    g = stochastic_blockmodel(spark, membership, aff, seed=11)
+    e = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    assert e and all(u < v for u, v in e)
+    assert len(set(e)) == len(e)  # no duplicate pairs
+    same = sum(1 for u, v in e if u % 2 == v % 2)
+    cross = len(e) - same
+    # expectations: same ≈ 0.2 * 2*C(150,2) = 4470, cross ≈ 0.01 * 150*150 = 225
+    assert 3800 < same < 5200 and 120 < cross < 350, (same, cross)
+    g2 = stochastic_blockmodel(spark, membership, aff, seed=11)
+    assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == sorted(e)
+    with pytest.raises(ValueError):
+        stochastic_blockmodel(spark, membership, [[0.1, 0.3], [0.2, 0.1]])
+
+
+def test_clustered_random_graph(spark):
+    from networkit_spark.operators.generators import clustered_random_graph
+    from networkit_spark.operators.quality import modularity
+
+    g, comm = clustered_random_graph(spark, 200, 4, pin=0.3, pout=0.005, seed=7)
+    assert comm.count() == 200
+    # planted clusters should score clearly positive modularity
+    assert modularity(g, comm) > 0.4
+    with pytest.raises(ValueError):
+        clustered_random_graph(spark, 10, 2, pin=0.1, pout=0.5)
+
+
+def test_dynamic_event_generators_roundtrip(spark):
+    from networkit_spark.operators.generators import (
+        dynamic_barabasi_albert_events,
+        dynamic_forest_fire_events,
+        dynamic_path_events,
+    )
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.streaming.events import apply_events
+
+    def empty():
+        return EdgeGraph(
+            spark.createDataFrame([], "src long, dst long, weight double"),
+            directed=False, weighted=False,
+        )
+
+    path_ev = dynamic_path_events(spark, 5)
+    g = apply_events(empty(), path_ev)
+    assert g.num_edges() == 5 and g.num_nodes() == 6
+
+    ba = dynamic_barabasi_albert_events(spark, k=2, steps=6, seed=3)
+    gba = apply_events(empty(), ba)
+    # each step adds exactly k distinct edges: (k-1) seed + k*steps
+    assert gba.num_edges() == 1 + 2 * 6
+    assert gba.num_nodes() == 2 + 6
+
+    ff = dynamic_forest_fire_events(spark, p=0.4, steps=8, seed=5)
+    gff = apply_events(empty(), ff)
+    assert gff.num_nodes() == 9
+    # every step links the new node to >= 1 burned node (the ambassador)
+    assert gff.num_edges() >= 8
+    # deterministic under the same seed
+    ff2 = dynamic_forest_fire_events(spark, p=0.4, steps=8, seed=5)
+    assert sorted(map(tuple, ff.collect())) == sorted(map(tuple, ff2.collect()))
