@@ -309,3 +309,43 @@ def test_binary_partition_roundtrip(spark, tmp_path):
     sparse = spark.createDataFrame([(0, 1), (2, 1)], "node long, label long")
     with pytest.raises(ValueError):
         write_binary_partition(sparse, str(tmp_path / "bad.bin"))
+
+
+def test_cover_io_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.cover import (
+        read_cover,
+        read_edgelist_cover,
+        read_snap_cover,
+        write_cover,
+    )
+
+    cover = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (1, 1), (3, 1), (4, 2)],
+        "node long, subset long",
+    )
+    p = str(tmp_path / "c.cover")
+    write_cover(cover, p)
+    lines = open(p).read().splitlines()
+    assert lines == ["0 1 2 ", "1 3 ", "4 "]
+    back = read_cover(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        (r["node"], r["subset"]) for r in cover.collect()
+    )
+    # comment lines don't consume a community index
+    p2 = str(tmp_path / "c2.cover")
+    with open(p2, "w") as fh:
+        fh.write("# comment\n5 6\n\n7\n")
+    got = sorted(map(tuple, read_cover(spark, p2).collect()))
+    assert got == [(5, 0), (6, 0), (7, 1)]
+    assert sorted(map(tuple, read_snap_cover(spark, p2).collect())) == got
+
+
+def test_edgelist_cover_reader(spark, tmp_path):
+    from networkit_spark.sources.cover import read_edgelist_cover
+
+    p = str(tmp_path / "c.elcover")
+    with open(p, "w") as fh:
+        fh.write("# node communities\n1 0 2\n2 1\n3 0\n")
+    got = sorted(map(tuple, read_edgelist_cover(spark, p, first_node=1).collect()))
+    # node ids shifted to 0-based, community ids as written
+    assert got == [(0, 0), (0, 2), (1, 1), (2, 0)]
