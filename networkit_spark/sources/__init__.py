@@ -3,7 +3,7 @@
 Parquet is the native format; text formats (edge list, METIS, SNAP,
 KONECT) are supported for fixture parity with the reference readers."""
 
-from networkit_spark.sources.edgelist import read_edge_list, read_snap, read_konect, write_edge_list
+from networkit_spark.sources.edgelist import read_edge_list, read_snap, read_konect, write_edge_list, write_snap
 from networkit_spark.sources.metis import read_metis
 
 #: Format name → reader kwargs preset, the ``networkit.graphio.Format``
@@ -33,7 +33,19 @@ _READERS = {
     # MatrixMarket — don't alias it; fail loudly instead of misparsing.
     "mat": lambda spark, path, **kw: _raise_mat(path),
     "gexf": lambda spark, path, **kw: _read_formats(spark, path, "gexf"),
+    "graphtoolbinary": lambda spark, path, **kw: _read_binary(spark, path, "gt"),
+    "thrillbinary": lambda spark, path, **kw: _read_binary(spark, path, "thrill"),
 }
+
+
+def _read_binary(spark, path, kind):
+    from networkit_spark.sources import binary
+
+    return (
+        binary.read_graphtool(spark, path)
+        if kind == "gt"
+        else binary.read_thrill(spark, path)
+    )
 
 
 def _raise_mat(path):
@@ -75,6 +87,8 @@ _EXT_TO_FORMAT = {
     ".graphml": "graphml",
     ".mtx": "matrixmarket",
     ".gexf": "gexf",
+    ".gt": "graphtoolbinary",
+    ".thrill": "thrillbinary",
 }
 
 
@@ -104,12 +118,19 @@ def read_graph(spark, path: str, fmt: str | None = None, **kw):
 
 
 def write_graph(graph, path: str, fmt: str | None = None, **kw) -> None:
-    """``writeGraph`` dispatch: edge-list text or parquet (the native
-    sink).  METIS write is a documented non-goal (COVERAGE §2.2)."""
+    """``writeGraph`` dispatch: text formats (edge list / GML / GraphML /
+    GEXF / DOT / METIS / SNAP), binary (graph-tool gt / Thrill), or
+    parquet (the native sink)."""
     if fmt is None:
         low = path.lower()
         if low.endswith((".parquet", ".pq")):
             fmt = "parquet"
+        elif low.endswith((".graph", ".metis")):
+            fmt = "metis"
+        elif low.endswith(".gt"):
+            fmt = "graphtoolbinary"
+        elif low.endswith(".thrill"):
+            fmt = "thrillbinary"
         elif low.endswith(".gml"):
             fmt = "gml"
         elif low.endswith(".graphml"):
@@ -148,6 +169,24 @@ def write_graph(graph, path: str, fmt: str | None = None, **kw) -> None:
         from networkit_spark.sources.formats import write_dot
 
         write_dot(graph, path)
+        return
+    if key == "metis":
+        from networkit_spark.sources.metis import write_metis
+
+        write_metis(graph, path, **kw)
+        return
+    if key == "snap":
+        write_snap(graph, path)
+        return
+    if key == "graphtoolbinary":
+        from networkit_spark.sources.binary import write_graphtool
+
+        write_graphtool(graph, path, **kw)
+        return
+    if key == "thrillbinary":
+        from networkit_spark.sources.binary import write_thrill
+
+        write_thrill(graph, path)
         return
     raise ValueError(f"unknown graph sink format {fmt!r}")
 

@@ -349,3 +349,81 @@ def test_edgelist_cover_reader(spark, tmp_path):
     got = sorted(map(tuple, read_edgelist_cover(spark, p, first_node=1).collect()))
     # node ids shifted to 0-based, community ids as written
     assert got == [(0, 0), (0, 2), (1, 1), (2, 0)]
+
+
+def test_graphtool_binary_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.sources.binary import read_graphtool, write_graphtool
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 3, 1.0), (2, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    for little in (True, False):
+        g = EdgeGraph.from_edges(e)
+        p = str(tmp_path / f"g{little}.gt")
+        write_graphtool(g, p, little_endian=little)
+        blob = open(p, "rb").read()
+        assert blob[:6] == bytes([0xE2, 0x9B, 0xBE, 0x20, 0x67, 0x74])
+        g2 = read_graphtool(spark, p)
+        assert not g2.directed
+        assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == sorted(
+            (r["src"], r["dst"]) for r in g.edges.collect()
+        )
+    # directed roundtrip
+    gd = EdgeGraph.from_edges(
+        spark.createDataFrame([(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0)],
+                              "src long, dst long, weight double"),
+        directed=True,
+    )
+    p = str(tmp_path / "gd.gt")
+    write_graphtool(gd, p)
+    g3 = read_graphtool(spark, p)
+    assert g3.directed
+    assert sorted((r["src"], r["dst"]) for r in g3.edges.collect()) == [
+        (0, 1), (1, 0), (1, 2),
+    ]
+    # non-continuous ids are compacted on write
+    gs = EdgeGraph.from_edges(
+        spark.createDataFrame([(5, 9, 1.0)], "src long, dst long, weight double")
+    )
+    p = str(tmp_path / "gs.gt")
+    write_graphtool(gs, p)
+    assert [(r["src"], r["dst"]) for r in read_graphtool(spark, p).edges.collect()] == [(0, 1)]
+
+
+def test_thrill_binary_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.sources.binary import read_thrill, write_thrill
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 3, 1.0), (3, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = EdgeGraph.from_edges(e)
+    p = str(tmp_path / "g.thrill")
+    write_thrill(g, p)
+    g2 = read_thrill(spark, p)
+    assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == sorted(
+        (r["src"], r["dst"]) for r in g.edges.collect()
+    )
+    # sparse ids rejected
+    gs = EdgeGraph.from_edges(
+        spark.createDataFrame([(0, 2, 1.0)], "src long, dst long, weight double")
+    )
+    with pytest.raises(ValueError):
+        write_thrill(gs, str(tmp_path / "bad.thrill"))
+
+
+def test_dispatch_binary_and_metis_write(spark, tmp_path):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.sources import read_graph, write_graph
+
+    g = EdgeGraph.from_edges(
+        spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double")
+    )
+    for ext in ("gt", "thrill", "graph"):
+        p = str(tmp_path / f"g.{ext}")
+        write_graph(g, p)
+        g2 = read_graph(spark, p)
+        assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == [(0, 1), (1, 2)]
