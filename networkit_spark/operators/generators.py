@@ -1156,3 +1156,125 @@ def dynamic_forest_fire_events(
     return spark.createDataFrame(
         rows, "batch long, kind string, u long, v long, w double"
     )
+
+
+def pub_web(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 10,
+    neighborhood_radius: float = 0.1,
+    max_neighbors: int = 4,
+    seed: int = 42,
+) -> tuple[EdgeGraph, DataFrame]:
+    """``PubWebGenerator`` (``cpp/generators/PubWebGenerator.cpp``):
+    geometric unit-TORUS graph — k dense circular areas (radius from the
+    reference's anti-quadratic draw, populated ∝ rad^1.5 with
+    Σ = n·k/(k+2), polar-uniform placement), the rest uniform; an edge
+    joins u,v iff each lists the other among its ``max_neighbors``
+    nearest in-range neighbors (the reference's eligible-then-insert
+    scan = MUTUAL top-k, which is order-free), weighted 0.01/dist.
+
+    Returns ``(graph, coords)`` with coords = (node, x, y).
+
+    Spark shape: placement is per-node seeded-hash math (no sequential
+    state); the reference's O(n²) scan (its own TODO points at spatial
+    partitioning) becomes a torus-wrapped grid-cell 3×3 join — cell edge
+    = the neighborhood radius, so every in-range pair is found and the
+    shuffle is linear in n; top-k per node is a bounded window over
+    in-range candidates only."""
+    from pyspark.sql.window import Window
+    import random as _random
+
+    rng = _random.Random(seed)
+    # driver-side metadata: area centers/radii/populations (k values)
+    F_ = 5.0  # MIN_MAX_DENSE_AREA_FACTOR
+    areas = []
+    for _ in range(num_dense_areas):
+        f = rng.random() * F_ + 1.0
+        areas.append({"rad": 0.2 * f * f / (F_ * F_)})
+    scale = sum(a["rad"] ** 1.5 for a in areas)
+    dense_total = 0
+    for a in areas:
+        a["x"], a["y"] = rng.random(), rng.random()
+        a["num"] = (
+            round(n * (num_dense_areas / (num_dense_areas + 2.0)) * a["rad"] ** 1.5 / scale)
+            if scale > 0
+            else 0
+        )
+    # node id → area via cumulative offsets (broadcast-sized list)
+    offs, acc2 = [], 0
+    for i, a in enumerate(areas):
+        offs.append((acc2, acc2 + a["num"], i, a["x"], a["y"], a["rad"]))
+        acc2 += a["num"]
+    area_df = spark.createDataFrame(
+        [(lo, hi, i, x, y, r) for lo, hi, i, x, y, r in offs],
+        "lo long, hi long, area int, ax double, ay double, rad double",
+    )
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    placed = nodes.join(
+        F.broadcast(area_df),
+        (F.col("node") >= F.col("lo")) & (F.col("node") < F.col("hi")),
+        "left",
+    )
+    u1 = (F.abs(F.xxhash64("node", F.lit(seed + 1))) % 1_000_000_007) / 1_000_000_007.0
+    u2 = (F.abs(F.xxhash64("node", F.lit(seed + 2))) % 1_000_000_007) / 1_000_000_007.0
+    angle = u1 * 2.0 * math.pi
+    dist = u2 * F.col("rad")
+    x_raw = F.when(
+        F.col("area").isNotNull(), F.col("ax") + F.cos(angle) * dist
+    ).otherwise(u1)
+    y_raw = F.when(
+        F.col("area").isNotNull(), F.col("ay") + F.sin(angle) * dist
+    ).otherwise(u2)
+    # moveNodeIntoUnitSquare: single torus wrap
+    wrap = lambda z: F.when(z > 1.0, z - 1.0).when(z < 0.0, z + 1.0).otherwise(z)
+    coords = placed.select(
+        "node", wrap(x_raw).alias("x"), wrap(y_raw).alias("y")
+    ).localCheckpoint(eager=True)
+
+    # grid-cell candidate pairs on the torus
+    r = float(neighborhood_radius)
+    ncells = max(int(1.0 / r), 1)
+    cell = 1.0 / ncells  # cell edge >= r, torus-aligned
+    cells = coords.select(
+        "node", "x", "y",
+        F.least(F.floor(F.col("x") / cell).cast("int"), F.lit(ncells - 1)).alias("cx"),
+        F.least(F.floor(F.col("y") / cell).cast("int"), F.lit(ncells - 1)).alias("cy"),
+    )
+    offs_df = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probe = cells.crossJoin(F.broadcast(offs_df)).select(
+        F.col("node").alias("u"), F.col("x").alias("xu"), F.col("y").alias("yu"),
+        ((F.col("cx") + F.col("dx") + ncells) % ncells).alias("cx"),
+        ((F.col("cy") + F.col("dy") + ncells) % ncells).alias("cy"),
+    )
+    other = cells.select(
+        F.col("node").alias("v"), F.col("x").alias("xv"), F.col("y").alias("yv"),
+        "cx", "cy",
+    )
+    tor = lambda d: F.when(d > 0.5, 1.0 - d).otherwise(d)
+    dx = tor(F.abs(F.col("xu") - F.col("xv")))
+    dy = tor(F.abs(F.col("yu") - F.col("yv")))
+    pairs = (
+        probe.join(other, ["cx", "cy"])
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v", (dx * dx + dy * dy).alias("sqd"))
+        .where(F.col("sqd") <= r * r)
+        # 3x3 probe on a small torus can see the same v through two cell
+        # aliases — dedup before ranking
+        .groupBy("u", "v")
+        .agg(F.min("sqd").alias("sqd"))
+    )
+    w = Window.partitionBy("u").orderBy("sqd", "v")
+    topk = pairs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= max_neighbors
+    )
+    a_side = topk.select("u", "v", "sqd")
+    b_side = topk.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = a_side.join(b_side, ["u", "v"]).where(F.col("u") < F.col("v"))
+    e = mutual.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        (0.01 / F.sqrt("sqd")).alias("weight"),
+    )
+    return EdgeGraph(e, directed=False, weighted=True), coords

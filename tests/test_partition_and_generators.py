@@ -397,3 +397,48 @@ def test_dynamic_event_generators_roundtrip(spark):
     # deterministic under the same seed
     ff2 = dynamic_forest_fire_events(spark, p=0.4, steps=8, seed=5)
     assert sorted(map(tuple, ff.collect())) == sorted(map(tuple, ff2.collect()))
+
+
+def test_pub_web_generator(spark):
+    import math as _m
+
+    from networkit_spark.operators.generators import pub_web
+
+    n = 400
+    g, coords = pub_web(spark, n, num_dense_areas=6, neighborhood_radius=0.12,
+                        max_neighbors=4, seed=13)
+    pts = {r["node"]: (r["x"], r["y"]) for r in coords.collect()}
+    assert len(pts) == n
+    assert all(0.0 <= x <= 1.0 and 0.0 <= y <= 1.0 for x, y in pts.values())
+    edges = g.edges.collect()
+    assert edges, "geometric graph should be non-empty at this density"
+
+    def torus_d(a, b):
+        dx = abs(pts[a][0] - pts[b][0]); dx = min(dx, 1 - dx)
+        dy = abs(pts[a][1] - pts[b][1]); dy = min(dy, 1 - dy)
+        return _m.hypot(dx, dy)
+
+    deg = {}
+    for r in edges:
+        u, v, w = r["src"], r["dst"], r["weight"]
+        d = torus_d(u, v)
+        assert d <= 0.12 + 1e-9
+        assert w == pytest.approx(0.01 / d, rel=1e-6)
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert max(deg.values()) <= 4  # mutual top-k bounds the degree
+    # brute-force mutual-top-k oracle
+    in_range = {
+        u: sorted(
+            ((torus_d(u, v), v) for v in pts if v != u and torus_d(u, v) <= 0.12)
+        )[:4]
+        for u in pts
+    }
+    want = {
+        (min(u, v), max(u, v))
+        for u, lst in in_range.items()
+        for _, v in lst
+        if any(x == u for _, x in in_range[v])
+    }
+    got = {(r["src"], r["dst"]) for r in edges}
+    assert got == want
