@@ -1232,8 +1232,22 @@ def pub_web(
         "node", wrap(x_raw).alias("x"), wrap(y_raw).alias("y")
     ).localCheckpoint(eager=True)
 
-    # grid-cell candidate pairs on the torus
-    r = float(neighborhood_radius)
+    mutual = _mutual_topk_pairs(coords, float(neighborhood_radius), max_neighbors)
+    e = mutual.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        (0.01 / F.sqrt("sqd")).alias("weight"),
+    )
+    return EdgeGraph(e, directed=False, weighted=True), coords
+
+
+def _mutual_topk_pairs(coords: DataFrame, r: float, max_neighbors: int) -> DataFrame:
+    """(u, v, sqd) with u < v — pairs within torus radius ``r`` that are
+    in EACH OTHER's ``max_neighbors``-nearest lists (the PubWeb
+    eligible-twice rule).  Torus-wrapped grid-cell 3×3 join — linear
+    shuffle, no O(n²) scan."""
+    from pyspark.sql.window import Window
+
+    spark = coords.sparkSession
     ncells = max(int(1.0 / r), 1)
     cell = 1.0 / ncells  # cell edge >= r, torus-aligned
     cells = coords.select(
@@ -1272,9 +1286,148 @@ def pub_web(
     )
     a_side = topk.select("u", "v", "sqd")
     b_side = topk.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    mutual = a_side.join(b_side, ["u", "v"]).where(F.col("u") < F.col("v"))
-    e = mutual.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"),
-        (0.01 / F.sqrt("sqd")).alias("weight"),
+    return a_side.join(b_side, ["u", "v"]).where(F.col("u") < F.col("v"))
+
+
+def dynamic_pub_web_events(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 10,
+    neighborhood_radius: float = 0.1,
+    max_neighbors: int = 4,
+    steps: int = 5,
+    seed: int = 42,
+    write_initial: bool = True,
+) -> DataFrame:
+    """``DynamicPubWebGenerator``
+    (``cpp/generators/DynamicPubWebGenerator.cpp``): start from a PubWeb
+    graph; each TIME_STEP deletes 5% of the nodes (with their incident
+    edges), inserts 5% new ones (cluster-or-noise placement), recomputes
+    the mutual-top-k neighborhood, and emits EDGE_REMOVAL / EDGE_ADDITION
+    for the structural diff plus EDGE_WEIGHT_UPDATE (0.01/d², the
+    reference's dynamic weight) for every surviving edge.
+
+    Returns the GraphEvent table ``(batch, kind, u, v, w)``.
+
+    Spark shape: every step is a bounded set of joins — TakeOrdered picks
+    the deletions (deviation: the reference draws uniformly with
+    retries), the neighborhood recompute reuses the grid join, the diff
+    is two anti-joins.  Driver state is one row count per step."""
+    import random as _random
+
+    area_rng = _random.Random(seed)  # same draw sequence as pub_web's areas
+    F_ = 5.0
+    areas = []
+    for _ in range(num_dense_areas):
+        f = area_rng.random() * F_ + 1.0
+        areas.append({"rad": 0.2 * f * f / (F_ * F_)})
+    for a in areas:
+        a["x"], a["y"] = area_rng.random(), area_rng.random()
+    area_meta = spark.createDataFrame(
+        [(i, a["x"], a["y"], a["rad"]) for i, a in enumerate(areas)],
+        "area int, ax double, ay double, rad double",
     )
-    return EdgeGraph(e, directed=False, weighted=True), coords
+    g0, coords = pub_web(
+        spark, n, num_dense_areas, neighborhood_radius, max_neighbors, seed=seed
+    )
+    edges = g0.edges.select("src", "dst").localCheckpoint(eager=True)
+    coords = coords.localCheckpoint(eager=True)
+    ev_schema = "batch long, kind string, u long, v long, w double"
+    streams = []
+    if write_initial:
+        streams.append(
+            coords.select(
+                F.lit(0).alias("batch"), F.lit("NODE_ADDITION").alias("kind"),
+                F.col("node").alias("u"), F.lit(None).cast("long").alias("v"),
+                F.lit(None).cast("double").alias("w"),
+            )
+        )
+        streams.append(
+            g0.edges.select(
+                F.lit(0).alias("batch"), F.lit("EDGE_ADDITION").alias("kind"),
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+                F.col("weight").alias("w"),
+            )
+        )
+        streams.append(
+            spark.createDataFrame([(0, "TIME_STEP", None, None, None)], ev_schema)
+        )
+    next_id = n
+    r = float(neighborhood_radius)
+    for step in range(1, steps + 1):
+        cur_n = coords.count()
+        n_del = int(cur_n * 0.05)
+        n_ins = int(cur_n * 0.05)
+        batch = F.lit(step).alias("batch")
+        doomed = (
+            coords.select("node")
+            .orderBy(F.xxhash64("node", F.lit(seed + 7 * step)), "node")
+            .limit(n_del)
+            .localCheckpoint(eager=True)
+        )
+        dead_edges = edges.join(
+            doomed.withColumnRenamed("node", "src"), "src", "leftsemi"
+        ).unionByName(
+            edges.join(doomed.withColumnRenamed("node", "dst"), "dst", "leftsemi")
+            .select("src", "dst")
+        ).distinct()
+        streams.append(dead_edges.select(
+            batch, F.lit("EDGE_REMOVAL").alias("kind"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            F.lit(None).cast("double").alias("w"),
+        ))
+        streams.append(doomed.select(
+            batch, F.lit("NODE_REMOVAL").alias("kind"),
+            F.col("node").alias("u"), F.lit(None).cast("long").alias("v"),
+            F.lit(None).cast("double").alias("w"),
+        ))
+        coords = coords.join(doomed, "node", "left_anti")
+        edges = edges.join(dead_edges, ["src", "dst"], "left_anti")
+        # insertions: cluster draw over k+1 slots (k areas + noise)
+        newbies = spark.range(next_id, next_id + n_ins).select(F.col("id").alias("node"))
+        next_id += n_ins
+        slot = (F.abs(F.xxhash64("node", F.lit(seed + 11 * step))) % (num_dense_areas + 1)).cast("int")
+        u1 = (F.abs(F.xxhash64("node", F.lit(seed + 13 * step))) % 1_000_000_007) / 1_000_000_007.0
+        u2 = (F.abs(F.xxhash64("node", F.lit(seed + 17 * step))) % 1_000_000_007) / 1_000_000_007.0
+        placed = newbies.withColumn("area", slot).join(F.broadcast(area_meta), "area", "left")
+        angle = u1 * 2.0 * math.pi
+        dist = u2 * F.col("rad")
+        wrap = lambda z: F.when(z > 1.0, z - 1.0).when(z < 0.0, z + 1.0).otherwise(z)
+        x_raw = F.when(F.col("ax").isNotNull(), F.col("ax") + F.cos(angle) * dist).otherwise(u1)
+        y_raw = F.when(F.col("ay").isNotNull(), F.col("ay") + F.sin(angle) * dist).otherwise(u2)
+        new_coords = placed.select("node", wrap(x_raw).alias("x"), wrap(y_raw).alias("y"))
+        streams.append(new_coords.select(
+            batch, F.lit("NODE_ADDITION").alias("kind"),
+            F.col("node").alias("u"), F.lit(None).cast("long").alias("v"),
+            F.lit(None).cast("double").alias("w"),
+        ))
+        coords = coords.unionByName(new_coords).localCheckpoint(eager=True)
+        # recompute neighborhood and diff
+        mutual = _mutual_topk_pairs(coords, r, max_neighbors).localCheckpoint(eager=True)
+        new_edges = mutual.select(F.col("u").alias("src"), F.col("v").alias("dst"), "sqd")
+        gone = edges.join(new_edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        kept = new_edges.join(edges, ["src", "dst"], "leftsemi")
+        born = new_edges.join(edges, ["src", "dst"], "left_anti")
+        streams.append(gone.select(
+            batch, F.lit("EDGE_REMOVAL").alias("kind"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            F.lit(None).cast("double").alias("w"),
+        ))
+        streams.append(kept.select(
+            batch, F.lit("EDGE_WEIGHT_UPDATE").alias("kind"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            (0.01 / F.col("sqd")).alias("w"),
+        ))
+        streams.append(born.select(
+            batch, F.lit("EDGE_ADDITION").alias("kind"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            (0.01 / F.col("sqd")).alias("w"),
+        ))
+        streams.append(
+            spark.createDataFrame([(step, "TIME_STEP", None, None, None)], ev_schema)
+        )
+        edges = new_edges.select("src", "dst").localCheckpoint(eager=True)
+    out = streams[0]
+    for s_ in streams[1:]:
+        out = out.unionByName(s_)
+    return out

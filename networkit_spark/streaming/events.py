@@ -91,6 +91,24 @@ def apply_events(graph: EdgeGraph, events: DataFrame) -> EdgeGraph:
     return EdgeGraph(e, graph.directed, graph.weighted)
 
 
+def apply_event_stream(graph: EdgeGraph, events: DataFrame) -> EdgeGraph:
+    """Fold a MULTI-batch GraphEvent stream: :func:`apply_events` batch by
+    batch in ascending batch order (an edge removed in batch i and
+    re-added in batch j > i survives — set semantics only hold WITHIN a
+    batch).  Lineage is truncated per batch so long streams stay
+    plannable."""
+    batches = sorted(
+        r["batch"] for r in events.select("batch").distinct().collect()
+    )
+    g = graph
+    for b in batches:
+        g = apply_events(g, events.where(F.col("batch") == b))
+        g = EdgeGraph(
+            g.edges.localCheckpoint(eager=True), g.directed, g.weighted
+        )
+    return g
+
+
 def incremental_components(
     graph: EdgeGraph, prev_labels: DataFrame, events: DataFrame
 ) -> tuple[EdgeGraph, DataFrame]:

@@ -442,3 +442,28 @@ def test_pub_web_generator(spark):
     }
     got = {(r["src"], r["dst"]) for r in edges}
     assert got == want
+
+
+def test_dynamic_pub_web_stream_consistency(spark):
+    from networkit_spark.graph import EdgeGraph
+    from networkit_spark.operators.generators import dynamic_pub_web_events
+    from networkit_spark.streaming.events import apply_event_stream
+
+    ev = dynamic_pub_web_events(
+        spark, 120, num_dense_areas=4, neighborhood_radius=0.15,
+        max_neighbors=3, steps=2, seed=9,
+    ).localCheckpoint(eager=True)
+    kinds = {r["kind"] for r in ev.select("kind").distinct().collect()}
+    assert {"NODE_ADDITION", "EDGE_ADDITION", "TIME_STEP"} <= kinds
+    assert "NODE_REMOVAL" in kinds and "EDGE_WEIGHT_UPDATE" in kinds
+    # applying the full stream reproduces a mutual-top-k geometric graph:
+    # every final edge's endpoints both exist and counts stay sane
+    empty = EdgeGraph(
+        spark.createDataFrame([], "src long, dst long, weight double"),
+        directed=False, weighted=True,
+    )
+    g = apply_event_stream(empty, ev)
+    n_final = g.num_nodes()
+    assert 100 <= n_final <= 132  # 120 -5% +5% twice, integer-rounded
+    deg = {r["node"]: r["deg"] for r in g.degrees().collect()}
+    assert max(deg.values()) <= 3
