@@ -457,7 +457,15 @@ def hyperbolic(
             f"below it the outer-pair angular reach cos term leaves [-1, 1] "
             f"(every outer-outer pair can connect; no sector pruning exists)"
         )
-    r_c = core_radius_frac * R
+    e = _hyperbolic_edges(pts, R, core_radius_frac * R, brute=brute)
+    return EdgeGraph(e, directed=False, weighted=False)
+
+
+def _hyperbolic_edges(pts: DataFrame, R: float, r_c: float, brute: bool = False) -> DataFrame:
+    """(src, dst, weight) — T=0 threshold edges (hyperbolic distance ≤ R)
+    over a point table ``(id, phi, cr, sr, r)``, with the core-broadcast +
+    outer-sector pruning documented on :func:`hyperbolic`."""
+    two_pi = 2 * math.pi
     # angular reach of an outer-outer pair, exact (finite: r_c > R/2)
     w = math.acos(
         max(-1.0, (math.cosh(r_c) ** 2 - math.cosh(R)) / (math.sinh(r_c) ** 2))
@@ -488,8 +496,7 @@ def hyperbolic(
     if nb < 4 or brute:
         # disk too small for sector pruning (or pruning disabled for
         # the pruned≡brute equality test) — exact n² filter
-        e = exact_edges(u_side, v_side)
-        return EdgeGraph(e, directed=False, weighted=False)
+        return exact_edges(u_side, v_side)
 
     core_u = u_side.where(F.col("r_u") <= r_c)
     # core × all: |core| is tiny → broadcast side.  src≠dst (not src<dst:
@@ -531,7 +538,7 @@ def hyperbolic(
         )
         .select("src", "dst", F.lit(1.0).alias("weight"))
     )
-    return EdgeGraph(e_core.unionByName(e_outer), directed=False, weighted=False)
+    return e_core.unionByName(e_outer)
 
 
 def rmat(
@@ -1431,3 +1438,113 @@ def dynamic_pub_web_events(
     for s_ in streams[1:]:
         out = out.unionByName(s_)
     return out
+
+
+def dynamic_hyperbolic_events(
+    spark: SparkSession,
+    n: int,
+    avg_degree: float = 6.0,
+    exp: float = 3.0,
+    move_each_step: float = 0.2,
+    move_distance: float = 0.05,
+    steps: int = 5,
+    seed: int = 42,
+    core_radius_frac: float = 0.7,
+) -> tuple[EdgeGraph, DataFrame]:
+    """``DynamicHyperbolicGenerator`` (T = 0 threshold model;
+    ``cpp/generators/DynamicHyperbolicGenerator.cpp``): points live on
+    the hyperbolic disk; each TIME_STEP every node moves with probability
+    ``move_each_step`` — radial motion adds its per-node drift to
+    cosh(α·r) (bouncing off the rim, crossing the center with a π flip,
+    sign persisting across bounces, ``moveNode``:167-211) and angular
+    motion adds drift/r — and the edge set (distance ≤ R) is re-derived,
+    emitting EDGE_REMOVAL / EDGE_ADDITION diffs.
+
+    Returns ``(initial graph, GraphEvent table)`` — the reference exposes
+    the start state via ``getGraph()`` and streams only the diffs.
+
+    Spark shape: movement is one closed-form SQL projection over the
+    point table (no driver loop over nodes); each step's edges reuse the
+    static generator's core-broadcast + sector-pruned kernel; the diff is
+    two anti-joins.  Per-node drift vectors are seeded-hash uniforms, the
+    wiggle draw re-keys per step — deterministic at any parallelism."""
+    if exp <= 2:
+        raise ValueError("power-law exponent must be > 2")
+    alpha = (exp - 1) / 2
+    R = _hyperbolic_target_radius(n, avg_degree, alpha)
+    two_pi = 2 * math.pi
+    cosh_aR = math.cosh(alpha * R)
+    r_c = core_radius_frac * R
+    scale = 10
+    pts = spark.range(n).select(
+        F.col("id"),
+        (_uniform(seed, "id") * two_pi).alias("phi"),
+        (F.acosh(1 + _uniform(seed + 1, "id") * (cosh_aR - 1)) / alpha).alias("r"),
+        ((_uniform(seed + 2, "id") * 2 - 1) * move_distance).alias("am"),
+        ((_uniform(seed + 3, "id") * 2 - 1) * scale * move_distance).alias("rm"),
+    )
+    state = pts.select(
+        "id", "phi", "r", "am", "rm",
+        F.cosh("r").alias("cr"), F.sinh("r").alias("sr"),
+    ).localCheckpoint(eager=True)
+    edges = _hyperbolic_edges(state, R, r_c).select("src", "dst").localCheckpoint(eager=True)
+    g0 = EdgeGraph(
+        edges.select("src", "dst", F.lit(1.0).alias("weight")),
+        directed=False, weighted=False,
+    )
+    ev_schema = "batch long, kind string, u long, v long, w double"
+    streams = []
+    eps = 1e-12
+    for step in range(1, steps + 1):
+        batch = F.lit(step).alias("batch")
+        wiggle = _uniform(seed + 100 + step, "id") < move_each_step
+        currcdf = F.cosh(alpha * F.col("r"))
+        newcosh0 = currcdf + alpha * F.col("rm")
+        # bounce off the rim / cross the center (sign flip persists)
+        hi = F.lit(float(cosh_aR))
+        over = newcosh0 > hi
+        under = newcosh0 < 1.0
+        newcosh = (
+            F.when(over, newcosh0 - 2 * (newcosh0 - hi))
+            .when(under, newcosh0 + 2 * (1.0 - newcosh0))
+            .otherwise(newcosh0)
+        )
+        new_rm = F.when(over | under, -F.col("rm")).otherwise(F.col("rm"))
+        flip_phi = F.when(
+            under,
+            F.when(F.col("phi") > math.pi, F.col("phi") - math.pi).otherwise(F.col("phi") + math.pi),
+        ).otherwise(F.col("phi"))
+        new_r = F.least(F.acosh(F.greatest(newcosh, F.lit(1.0))) / alpha, F.lit(R - eps))
+        new_phi0 = flip_phi + F.col("am") / new_r
+        new_phi = F.pmod(new_phi0, F.lit(two_pi))
+        state = state.select(
+            "id",
+            F.when(wiggle, new_phi).otherwise(F.col("phi")).alias("phi"),
+            F.when(wiggle, new_r).otherwise(F.col("r")).alias("r"),
+            "am",
+            F.when(wiggle, new_rm).otherwise(F.col("rm")).alias("rm"),
+        ).select(
+            "id", "phi", "r", "am", "rm",
+            F.cosh("r").alias("cr"), F.sinh("r").alias("sr"),
+        ).localCheckpoint(eager=True)
+        new_edges = _hyperbolic_edges(state, R, r_c).select("src", "dst").localCheckpoint(eager=True)
+        gone = edges.join(new_edges, ["src", "dst"], "left_anti")
+        born = new_edges.join(edges, ["src", "dst"], "left_anti")
+        streams.append(gone.select(
+            batch, F.lit("EDGE_REMOVAL").alias("kind"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            F.lit(None).cast("double").alias("w"),
+        ))
+        streams.append(born.select(
+            batch, F.lit("EDGE_ADDITION").alias("kind"),
+            F.col("src").alias("u"), F.col("dst").alias("v"),
+            F.lit(1.0).alias("w"),
+        ))
+        streams.append(
+            spark.createDataFrame([(step, "TIME_STEP", None, None, None)], ev_schema)
+        )
+        edges = new_edges
+    out = streams[0]
+    for s_ in streams[1:]:
+        out = out.unionByName(s_)
+    return g0, out

@@ -467,3 +467,31 @@ def test_dynamic_pub_web_stream_consistency(spark):
     assert 100 <= n_final <= 132  # 120 -5% +5% twice, integer-rounded
     deg = {r["node"]: r["deg"] for r in g.degrees().collect()}
     assert max(deg.values()) <= 3
+
+
+def test_dynamic_hyperbolic_stream(spark):
+    from networkit_spark.operators.generators import dynamic_hyperbolic_events
+    from networkit_spark.streaming.events import apply_event_stream
+
+    g0, ev = dynamic_hyperbolic_events(
+        spark, 150, avg_degree=6.0, exp=3.0, move_each_step=0.5,
+        move_distance=0.2, steps=3, seed=21,
+    )
+    ev = ev.localCheckpoint(eager=True)
+    m0 = g0.num_edges()
+    assert m0 > 0
+    kinds = {r["kind"] for r in ev.select("kind").distinct().collect()}
+    assert "TIME_STEP" in kinds
+    assert {"EDGE_ADDITION", "EDGE_REMOVAL"} & kinds, "movement produced no diffs"
+    # folding the stream onto the initial graph keeps a valid edge set
+    # (every edge still satisfies the threshold rule implicitly: the
+    # stream IS the recomputed set's diff); edge count stays in a sane band
+    g = apply_event_stream(g0, ev)
+    m3 = g.num_edges()
+    assert 0 < m3 < 4 * m0
+    # determinism
+    _, ev2 = dynamic_hyperbolic_events(
+        spark, 150, avg_degree=6.0, exp=3.0, move_each_step=0.5,
+        move_distance=0.2, steps=3, seed=21,
+    )
+    assert sorted(map(tuple, ev.collect())) == sorted(map(tuple, ev2.collect()))
