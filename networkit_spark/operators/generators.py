@@ -23,7 +23,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from networkit_spark.graph import EdgeGraph, canonicalize
+from networkit_spark.graph import EdgeGraph, canonicalize, truncate_lineage
 
 
 def _uniform(seed: int, *cols) -> "F.Column":
@@ -1408,7 +1408,9 @@ def dynamic_pub_web_events(
             F.col("node").alias("u"), F.lit(None).cast("long").alias("v"),
             F.lit(None).cast("double").alias("w"),
         ))
-        coords = coords.unionByName(new_coords).localCheckpoint(eager=True)
+        # truncate_lineage: chained localCheckpoints degrade past ~10
+        # iterations (graph.truncate_lineage docstring)
+        coords = truncate_lineage(coords.unionByName(new_coords), step, every=4)
         # recompute neighborhood and diff
         mutual = _mutual_topk_pairs(coords, r, max_neighbors).localCheckpoint(eager=True)
         new_edges = mutual.select(F.col("u").alias("src"), F.col("v").alias("dst"), "sqd")
@@ -1433,7 +1435,7 @@ def dynamic_pub_web_events(
         streams.append(
             spark.createDataFrame([(step, "TIME_STEP", None, None, None)], ev_schema)
         )
-        edges = new_edges.select("src", "dst").localCheckpoint(eager=True)
+        edges = truncate_lineage(new_edges.select("src", "dst"), step, every=4)
     out = streams[0]
     for s_ in streams[1:]:
         out = out.unionByName(s_)
@@ -1526,8 +1528,11 @@ def dynamic_hyperbolic_events(
         ).select(
             "id", "phi", "r", "am", "rm",
             F.cosh("r").alias("cr"), F.sinh("r").alias("sr"),
-        ).localCheckpoint(eager=True)
-        new_edges = _hyperbolic_edges(state, R, r_c).select("src", "dst").localCheckpoint(eager=True)
+        )
+        state = truncate_lineage(state, step, every=4)
+        new_edges = truncate_lineage(
+            _hyperbolic_edges(state, R, r_c).select("src", "dst"), step, every=4
+        )
         gone = edges.join(new_edges, ["src", "dst"], "left_anti")
         born = new_edges.join(edges, ["src", "dst"], "left_anti")
         streams.append(gone.select(

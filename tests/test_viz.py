@@ -109,3 +109,24 @@ def test_multilevel_layout(spark):
     nbr = np.mean([np.linalg.norm(pos[i] - pos[(i + 1) % n]) for i in range(n)])
     far = np.mean([np.linalg.norm(pos[i] - pos[(i + n // 2) % n]) for i in range(n)])
     assert far > nbr
+
+
+def test_maxent_stress_recovers_distances(spark):
+    from networkit_spark.operators.viz import maxent_stress
+
+    # a 6-cycle with unit targets: layout distances should approach 1 on
+    # edges and exceed 1 across the cycle
+    n = 6
+    g = EdgeGraph.from_edges(
+        edges_df(spark, [(i, (i + 1) % n, 1.0) for i in range(n)])
+    )
+    pos = {
+        r["node"]: np.array([r["x"], r["y"]])
+        for r in maxent_stress(g, max_iter=30, seed=4).collect()
+    }
+    assert len(pos) == n
+    edge_d = [np.linalg.norm(pos[i] - pos[(i + 1) % n]) for i in range(n)]
+    anti_d = [np.linalg.norm(pos[i] - pos[(i + 3) % n]) for i in range(n)]
+    assert np.mean(anti_d) > np.mean(edge_d)
+    # stress is low: edge lengths near the unit target
+    assert 0.5 < np.mean(edge_d) < 1.5, edge_d
