@@ -299,3 +299,154 @@ def neighbors_measure_index(graph: EdgeGraph, pairs: DataFrame) -> DataFrame:
         .join(agg, ["u", "v"], "left")
         .select("u", "v", F.coalesce("neighbors_measure", F.lit(0)).alias("neighbors_measure"))
     )
+
+
+def neighborhood_distance_index(
+    graph: EdgeGraph, pairs: DataFrame | None = None
+) -> DataFrame:
+    """``NeighborhoodDistanceIndex`` (``cpp/linkprediction/
+    NeighborhoodDistanceIndex.cpp:14-19``): |N(u) ∩ N(v)| /
+    √(deg u · deg v).  Default pair set = the distance-2 candidates
+    (the only pairs with nonzero score); pass ``pairs`` (u, v) to score
+    a query set — absent candidates score 0."""
+    s = link_prediction_scores(graph, only_missing=False).select(
+        "u", "v",
+        (
+            F.col("common_neighbors")
+            / F.sqrt(F.col("u_degree").cast("double") * F.col("v_degree"))
+        ).alias("neighborhood_distance"),
+    )
+    if pairs is None:
+        return s
+    return (
+        pairs.select("u", "v")
+        .join(s, ["u", "v"], "left")
+        .select(
+            "u", "v",
+            F.coalesce("neighborhood_distance", F.lit(0.0)).alias(
+                "neighborhood_distance"
+            ),
+        )
+    )
+
+
+def algebraic_distance_index(
+    graph: EdgeGraph,
+    pairs: DataFrame,
+    num_systems: int = 10,
+    num_iterations: int = 30,
+    omega: float = 0.5,
+    norm: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(u, v, algebraic_distance) — ``AlgebraicDistanceIndex``
+    (``cpp/linkprediction/AlgebraicDistanceIndex.cpp:26-76``): the
+    extended algebraic distance between queried pairs under the shared
+    Jacobi-smoothed load vectors (``preprocess``).  norm=0 is the
+    reference's MAX_NORM; the header default is norm=2.  Reuses the
+    node-distance loads (one distributed smoothing, scored per pair by
+    two joins); NaN → 0 like ``runImpl``'s final guard."""
+    from networkit_spark.operators.node_distance import algebraic_distance_loads
+
+    loads = algebraic_distance_loads(
+        graph, num_systems, num_iterations, omega, seed
+    )
+    j = (
+        pairs.select("u", "v")
+        .join(loads.select(F.col("node").alias("u"), "sys", F.col("load").alias("lu")), "u")
+        .join(
+            loads.select(F.col("node").alias("v"), "sys", F.col("load").alias("lv")),
+            ["v", "sys"],
+        )
+        .withColumn("absdiff", F.abs(F.col("lu") - F.col("lv")))
+    )
+    if norm == 0:
+        agg = j.groupBy("u", "v").agg(F.max("absdiff").alias("d"))
+    else:
+        agg = j.groupBy("u", "v").agg(
+            F.pow(F.sum(F.pow("absdiff", float(norm))), 1.0 / norm).alias("d")
+        )
+    return (
+        pairs.select("u", "v")
+        .join(agg, ["u", "v"], "left")
+        .select(
+            "u", "v",
+            F.coalesce(
+                F.when(F.isnan("d"), 0.0).otherwise(F.col("d")), F.lit(0.0)
+            ).alias("algebraic_distance"),
+        )
+    )
+
+
+def link_thresholder_by_score(
+    scored: DataFrame, min_score: float, score_col: str = "jaccard"
+) -> DataFrame:
+    """``LinkThresholder::byScore`` (``cpp/linkprediction/LinkThresholder
+    .cpp:16-28``): keep pairs with score ≥ minScore, returned
+    pair-sorted like the reference's final ``Aux::Parallel::sort``."""
+    return (
+        scored.where(F.col(score_col) >= min_score)
+        .select("u", "v")
+        .orderBy("u", "v")
+    )
+
+
+def link_thresholder_by_count(
+    scored: DataFrame, num_links: int, score_col: str = "jaccard"
+) -> DataFrame:
+    """``LinkThresholder::byCount`` (``LinkThresholder.cpp:30-43``): the
+    ``num_links`` best-scored pairs (score desc, then pair asc —
+    ``PredictionsSorter``'s tie order), returned pair-sorted.
+    TakeOrdered bounds the selection at k rows; meant for
+    prediction-list-sized k like the reference surface."""
+    return (
+        scored.orderBy(F.desc(score_col), F.asc("u"), F.asc("v"))
+        .limit(num_links)
+        .select("u", "v")
+        .orderBy("u", "v")
+    )
+
+
+def link_thresholder_by_percentage(
+    scored: DataFrame, percentage: float, score_col: str = "jaccard"
+) -> DataFrame:
+    """``LinkThresholder::byPercentage`` (``LinkThresholder.cpp:45-50``)."""
+    if not 0.0 <= percentage <= 1.0:
+        raise ValueError("Given percentage is not in [0, 1].")
+    k = int(percentage * scored.count())
+    return link_thresholder_by_count(scored, k, score_col)
+
+
+def random_link_sampler_by_percentage(
+    graph: EdgeGraph, train_percentage: float, seed: int = 42
+) -> EdgeGraph:
+    """``RandomLinkSampler::byPercentage`` (``cpp/linkprediction/
+    RandomLinkSampler.cpp:13-18``): a training graph keeping ~the given
+    fraction of edges, selected by seeded hash — the scale path (one
+    filter, no ordering); the exact-count variant is
+    :func:`random_link_sampler_by_count`."""
+    if not 0.0 <= train_percentage <= 1.0:
+        raise ValueError("Given percentage is not in [0, 1].")
+    train, _ = train_test_split_edges(graph, 1.0 - train_percentage, seed)
+    return train
+
+
+def random_link_sampler_by_count(
+    graph: EdgeGraph, num_train_links: int, seed: int = 42
+) -> EdgeGraph:
+    """``RandomLinkSampler::byCount`` (``RandomLinkSampler.cpp:20-31``):
+    keep EXACTLY ``num_train_links`` uniformly chosen edges.  The exact
+    count is a global selection by construction — implemented as the
+    k-smallest seeded-hash prefix (TakeOrdered, k rows through the
+    driver stage); for cluster-scale k prefer the percentage form."""
+    e = graph.edges
+    total = e.count()
+    if num_train_links > total:
+        raise ValueError("num_train_links > number of edges.")
+    kept = (
+        e.withColumn("_h", F.xxhash64(F.lit(seed), "src", "dst"))
+        .orderBy("_h", "src", "dst")
+        .limit(num_train_links)
+        .drop("_h")
+    )
+    return EdgeGraph(kept, graph.directed, graph.weighted)

@@ -189,6 +189,18 @@ def hub_dominance(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
     )
 
 
+def cover_hub_dominance(graph: EdgeGraph, cover: DataFrame) -> DataFrame:
+    """(label, value) — ``CoverHubDominance.cpp:11-79``: per community c,
+    max over members u of |{v ∈ N(u) : c ∈ C(v)}|, divided by |c|−1;
+    singletons score 1.0.  ``cover`` = multi-membership (node, label)
+    rows.  The partition pipeline already computes exactly this when the
+    label table carries one row per membership: the src×dst label join
+    yields one row per (edge, shared community), so the per-(u, c)
+    count IS the cover-internal degree — shared machinery, cover-correct
+    by construction (pytest-anchored on an overlapping fixture)."""
+    return hub_dominance(graph, cover)
+
+
 def intrapartition_density(graph: EdgeGraph, labels: DataFrame) -> DataFrame:
     """(label, value) — ``IntrapartitionDensity.cpp:8-74``: intra-edge
     count / (|C| choose 2); clusters with no possible pair score 1.0."""

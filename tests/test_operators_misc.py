@@ -581,3 +581,83 @@ def test_edmonds_karp_directed_scoping(spark):
     g = EdgeGraph.from_edges(e, directed=True)
     res = edmonds_karp(g, 0, 2)
     assert res.max_flow == pytest.approx(1.0)
+
+
+def test_linkpred_distance_indices_and_thresholders(spark):
+    """NeighborhoodDistanceIndex on the path 0-1-2; AlgebraicDistanceIndex
+    invariants (symmetry inputs, zero self-distance, connected < far);
+    LinkThresholder by score/count/percentage; RandomLinkSampler."""
+    from networkit_spark.operators.linkpred import (
+        algebraic_distance_index,
+        link_prediction_scores,
+        link_thresholder_by_count,
+        link_thresholder_by_percentage,
+        link_thresholder_by_score,
+        neighborhood_distance_index,
+        random_link_sampler_by_count,
+        random_link_sampler_by_percentage,
+    )
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2)]))
+    nd = {(r["u"], r["v"]): r["neighborhood_distance"]
+          for r in neighborhood_distance_index(g).collect()}
+    # pair (0,2): |N∩|=1, deg 1·1 → 1.0
+    assert nd == {(0, 2): pytest.approx(1.0)}
+    # query-pair form: absent candidate scores 0
+    q = spark.createDataFrame([(0, 2), (0, 1)], "u long, v long")
+    nd2 = {(r["u"], r["v"]): r["neighborhood_distance"]
+           for r in neighborhood_distance_index(g, q).collect()}
+    assert nd2[(0, 2)] == pytest.approx(1.0) and nd2[(0, 1)] == 0.0
+
+    # two triangles joined by a bridge: intra-triangle pairs should be
+    # algebraically closer than cross-triangle pairs
+    tg = EdgeGraph.from_edges(edges_df(
+        spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]))
+    pr = spark.createDataFrame([(0, 1), (0, 5), (0, 0)], "u long, v long")
+    ad = {(r["u"], r["v"]): r["algebraic_distance"]
+          for r in algebraic_distance_index(tg, pr, num_systems=4,
+                                            num_iterations=20).collect()}
+    assert ad[(0, 0)] == pytest.approx(0.0)
+    assert 0.0 <= ad[(0, 1)] < ad[(0, 5)]
+
+    scored = link_prediction_scores(g, only_missing=False)
+    kept = link_thresholder_by_score(scored, 0.5, "jaccard").collect()
+    assert {(r["u"], r["v"]) for r in kept} == {(0, 2)}
+    top1 = link_thresholder_by_count(scored, 1, "jaccard").collect()
+    assert len(top1) == 1
+    assert link_thresholder_by_percentage(scored, 1.0, "jaccard").count() \
+        == scored.count()
+    with pytest.raises(ValueError):
+        link_thresholder_by_percentage(scored, 1.5)
+
+    big = EdgeGraph.from_edges(edges_df(
+        spark, [(i, j) for i in range(10) for j in range(i + 1, 10)]))
+    m = big.edges.count()
+    tr = random_link_sampler_by_count(big, 20, seed=3)
+    assert tr.edges.count() == 20
+    # kept edges are a subset of the original edge set
+    assert tr.edges.join(big.edges, ["src", "dst"], "left_anti").count() == 0
+    frac = random_link_sampler_by_percentage(big, 0.5, seed=3).edges.count()
+    assert 0 < frac < m
+    with pytest.raises(ValueError):
+        random_link_sampler_by_count(big, m + 1)
+
+
+def test_cover_hub_dominance(spark):
+    """Overlapping fixture: K3 {0,1,2} + K3 {2,3,4} with node 2 in both
+    communities.  Each community is a triangle → max cover-internal
+    degree 2, (|c|-1) = 2 → value 1.0; a sparse community {0,4,5} with
+    only the pendant edge 4-5 inside → max ideg 1 / 2 = 0.5."""
+    from networkit_spark.operators.quality import cover_hub_dominance
+
+    g = EdgeGraph.from_edges(edges_df(
+        spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5)]))
+    cover = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (2, 11), (3, 11), (4, 11),
+         (0, 12), (4, 12), (5, 12)],
+        "node long, label long",
+    )
+    vals = {r["label"]: r["value"] for r in cover_hub_dominance(g, cover).collect()}
+    assert vals[10] == pytest.approx(1.0)
+    assert vals[11] == pytest.approx(1.0)
+    assert vals[12] == pytest.approx(0.5)
