@@ -148,6 +148,22 @@ def incremental_components(
     return new_graph, labels
 
 
+def incremental_weakly_components(
+    graph: EdgeGraph, prev_labels: DataFrame, events: DataFrame
+) -> tuple[EdgeGraph, DataFrame]:
+    """``DynWeaklyConnectedComponents`` (``cpp/components/
+    DynWeaklyConnectedComponents.h:23-48``): weakly-connected components
+    of a DIRECTED graph kept current under edge events.  Weak
+    connectivity ignores direction, so the update runs on the UNDIRECTED
+    view (a directed graph's ``sym()`` keeps arc direction — label
+    propagation there would only follow arcs).  The returned graph keeps
+    the original directed arcs with the batch applied; only the label
+    machinery is symmetrized."""
+    und = graph.to_undirected() if graph.directed else graph
+    _, labels = incremental_components(und, prev_labels, events)
+    return apply_events(graph, events), labels
+
+
 def _propagate_from(graph: EdgeGraph, seed: DataFrame) -> DataFrame:
     """Min-label propagation to fixpoint from arbitrary seed labels
     (labels only decrease ⇒ converges to per-component minimum)."""
