@@ -140,3 +140,17 @@ def betweenness(
     sym.unpersist()
     vertices.unpersist()
     return out
+
+
+def estimate_betweenness(
+    graph: EdgeGraph,
+    nsamples: int,
+    normalized: bool = False,
+) -> DataFrame:
+    """``EstimateBetweenness`` (``cpp/centrality/EstimateBetweenness
+    .h:20-36``) — the Brandes-Pich sampled estimator with NO error
+    guarantee (for the (ε, δ)-guaranteed variant see
+    ``approx_betweenness``): k sampled sources, per-source Brandes
+    dependencies, scaled by n/k.  Exactly :func:`betweenness` with
+    ``nsamples`` — this surface names the reference class."""
+    return betweenness(graph, nsamples=nsamples, normalized=normalized)

@@ -81,3 +81,236 @@ def top_closeness(graph: EdgeGraph, k: int = 10, nsamples: int | None = None) ->
         .orderBy(F.desc("score"), F.asc("node"))
         .limit(k)
     )
+
+
+def _keyed_sssp(sym: DataFrame, sources: list[int], max_rounds: int = 64) -> DataFrame:
+    """(s, node, dist) — weighted multi-source distances, all sources'
+    Bellman-Ford relaxations advancing in ONE superstep loop (keyed by
+    (s, node), like :func:`~networkit_spark.operators.bfs._keyed_bfs`
+    but carrying weighted distances)."""
+    spark = sym.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0.0) for s in sorted(set(sources))],
+        "s long, node long, dist double",
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            sym.join(
+                frontier.select("s", F.col("node").alias("src"), "dist"), "src"
+            )
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        merged = (
+            dist.join(cand, ["s", "node"], "full")
+            .select(
+                "s",
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.coalesce("cand", F.lit(float("inf")))
+                    < F.coalesce("dist", F.lit(float("inf")))
+                ).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where("chg").select("s", "node", "dist")
+        dist = merged.select("s", "node", "dist")
+        if frontier.limit(1).count() == 0:
+            break
+    return dist
+
+
+def approx_closeness(
+    graph: EdgeGraph,
+    nsamples: int = 64,
+    epsilon: float = 0.1,
+    normalized: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """(node, score, sqerr) — ``ApproxCloseness`` (``cpp/centrality/
+    ApproxCloseness.cpp:64-117,266-365``, the Cohen-Delling-Pajor-Werneck
+    pivot estimator) for UNDIRECTED graphs.
+
+    Machinery, re-expressed as joins over the (sample, node, dist) table
+    from one keyed multi-source BFS/SSSP:
+
+    * pivot c(u) = nearest sample, δ_u = d(u, c(u)) — one min-struct
+      aggregate (the reference's multi-source Dijkstra Voronoi;
+      deviation: ties break on smallest sample id, the reference
+      inherits an arbitrary propagation order);
+    * per (node u, sample i): LC iff d(i,u) ≤ δ_u(1/ε − 1) or
+      d(i, c(u)) ≤ δ_u/ε, else HC (``runOnPivot``'s direct + deferred
+      classification) — LCSum/LCNum/LCSumSQ/HCSum/HCSumSQErr are one
+      groupBy over that table;
+    * HSum[u]/HNum[u] = Σ/count of δ_v over CELL-mates v with
+      δ_v > δ_u/ε (``runOnPivot``'s threshold bins + tail sums) — a
+      per-(cell, distance-level) suffix-sum window joined back by an
+      as-of join on the level table (levels ≤ eccentricity for hop
+      distances, so the join side is small);
+    * sampled nodes get their exact closeness (their BFS is on hand);
+      non-sampled: score = 1/(HSum + HCSum + LCSum/p) with
+      p = LCNum/LNum, LNum = n−1−HNum−k+LCNum, times (n−1) when
+      ``normalized`` — and ``sqerr`` is ``getSquareErrorEstimates``'s
+      per-node variance estimate.
+
+    Directed graphs: the reference's directed path is a sequentially
+    PRUNED per-node BFS sweep (its per-node stop condition couples the
+    runs — ``computeClosenessForDirectedUnweightedGraph``); use
+    :func:`closeness` with ``nsamples`` for directed estimates instead.
+    Like the reference, n is the GLOBAL node count — on disconnected
+    graphs the far-set extrapolation assumes one component."""
+    from pyspark.sql.window import Window
+
+    from networkit_spark.graph import random_nodes
+    from networkit_spark.operators.bfs import _keyed_bfs
+
+    if graph.directed:
+        raise ValueError(
+            "approx_closeness implements the undirected pivot estimator; "
+            "use closeness(nsamples=...) for directed graphs"
+        )
+    if epsilon < 0:
+        raise ValueError("epsilon must be >= 0")
+    n = graph.num_nodes()
+    k = min(nsamples, n)
+    samples = random_nodes(graph, k=k, seed=seed)
+    sym = graph.sym().persist()
+    if graph.weighted:
+        sd = _keyed_sssp(sym, samples)
+    else:
+        sd = _keyed_bfs(sym.select("src", "dst"), samples).select(
+            "s", "node", F.col("dist").cast("double").alias("dist")
+        )
+    sd = sd.persist()
+
+    # pivot Voronoi: δ_u and c(u)
+    piv = (
+        sd.groupBy("node")
+        .agg(F.min(F.struct("dist", "s")).alias("m"))
+        .select("node", F.col("m.dist").alias("delta"), F.col("m.s").alias("pivot"))
+        .localCheckpoint(eager=True)
+    )
+    sample_set = {int(s) for s in samples}
+    is_sample = F.col("node").isin(sample_set)
+
+    # exact closeness for the sampled nodes themselves
+    sample_scores = sd.groupBy(F.col("s").alias("node")).agg(
+        F.sum("dist").alias("raw")
+    )
+
+    # classification table: one row per (non-sample node u, sample i),
+    # carrying d(i,u), δ_u, c(u), and d(i, c(u))
+    dpc = sd.select("s", F.col("node").alias("pivot"), F.col("dist").alias("dpc"))
+    cls = (
+        sd.where(~is_sample)
+        .join(piv, "node")
+        .join(dpc, ["s", "pivot"])
+    )
+    big = F.lit(float("inf"))
+    inv_eps = F.lit(1.0 / epsilon) if epsilon > 0 else big
+    lc = (
+        (F.lit(epsilon) == 0.0)
+        | (F.col("dist") <= F.col("delta") * (inv_eps - 1.0))
+        | (F.col("dpc") <= F.col("delta") * inv_eps)
+    )
+    agg = cls.groupBy("node").agg(
+        F.sum(F.when(lc, F.col("dist")).otherwise(0.0)).alias("lcsum"),
+        F.sum(F.when(lc, 1).otherwise(0)).alias("lcnum"),
+        F.sum(F.when(lc, F.col("dist") * F.col("dist")).otherwise(0.0)).alias("lcsumsq"),
+        F.sum(F.when(~lc, F.col("dist")).otherwise(0.0)).alias("hcsum"),
+        F.sum(
+            F.when(~lc, (F.col("dist") - F.col("dpc")) * (F.col("dist") - F.col("dpc")))
+            .otherwise(0.0)
+        ).alias("hcsqerr"),
+        F.sum(F.when(~lc, 1).otherwise(0)).alias("hcnum"),
+    )
+
+    # HSum/HNum: per pivot cell, suffix sums of δ over distance levels
+    if epsilon > 0:
+        cell = piv.where(~is_sample)  # samples are their own pivots, excluded
+        levels = cell.groupBy("pivot", F.col("delta").alias("lvl")).agg(
+            F.sum("delta").alias("lsum"), F.count(F.lit(1)).alias("lcnt")
+        )
+        w = Window.partitionBy("pivot").orderBy(F.desc("lvl")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        suffix = levels.select(
+            "pivot", "lvl", F.sum("lsum").over(w).alias("ssum"), F.sum("lcnt").over(w).alias("scnt")
+        )
+        hs = (
+            cell.join(suffix, "pivot")
+            .where(F.col("lvl") > F.col("delta") * inv_eps)
+            .groupBy("node")
+            .agg(F.min(F.struct("lvl", "ssum", "scnt")).alias("m"))
+            .select("node", F.col("m.ssum").alias("hsum"), F.col("m.scnt").alias("hnum"))
+        )
+    else:
+        hs = graph.spark.createDataFrame([], "node long, hsum double, hnum long")
+
+    est = (
+        agg.join(hs, "node", "left")
+        .select(
+            "node",
+            "lcsum", "lcnum", "lcsumsq", "hcsum", "hcsqerr", "hcnum",
+            F.coalesce("hsum", F.lit(0.0)).alias("hsum"),
+            F.coalesce("hnum", F.lit(0)).alias("hnum"),
+        )
+        .withColumn("lnum", F.lit(n - 1) - F.col("hnum") - F.lit(k) + F.col("lcnum"))
+        .withColumn(
+            "raw",
+            F.when(
+                (F.col("lcnum") > 0) & (F.col("lnum") > 0),
+                F.col("hsum") + F.col("hcsum")
+                + F.col("lcsum") * F.col("lnum") / F.col("lcnum"),
+            ),
+        )
+        .withColumn(
+            "sqerr",
+            F.when(
+                F.col("lcnum") > 0,
+                (
+                    F.col("lcsumsq") / F.col("lcnum")
+                    - (F.col("lcsum") / F.col("lcnum")) * (F.col("lcsum") / F.col("lcnum"))
+                )
+                / F.col("lcnum")
+                * F.col("lnum")
+                + F.when(
+                    F.col("hcnum") > 0,
+                    F.col("hcsqerr") / F.col("hcnum") * F.col("hnum"),
+                ).otherwise(0.0),
+            ).otherwise(0.0),
+        )
+        .select("node", "raw", "sqerr")
+    )
+
+    numer = F.lit(float(n - 1)) if normalized else F.lit(1.0)
+    nonsample = est.select(
+        "node",
+        F.when(F.coalesce("raw", F.lit(0.0)) > 0, numer / F.col("raw"))
+        .otherwise(0.0)
+        .alias("score"),
+        "sqerr",
+    )
+    sampled = sample_scores.where(F.col("node").isin(sample_set)).select(
+        "node",
+        F.when(F.col("raw") > 0, numer / F.col("raw")).otherwise(0.0).alias("score"),
+        F.lit(0.0).alias("sqerr"),
+    )
+    out = (
+        graph.vertices()
+        .join(nonsample.unionByName(sampled), F.col("id") == F.col("node"), "left")
+        .select(
+            F.col("id").alias("node"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            F.coalesce("sqerr", F.lit(0.0)).alias("sqerr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sd.unpersist()
+    sym.unpersist()
+    return out

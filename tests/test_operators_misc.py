@@ -661,3 +661,108 @@ def test_cover_hub_dominance(spark):
     assert vals[10] == pytest.approx(1.0)
     assert vals[11] == pytest.approx(1.0)
     assert vals[12] == pytest.approx(0.5)
+
+
+def test_approx_closeness(spark):
+    """k = n ⇒ every node is sampled ⇒ exact closeness; and on a small
+    fixture the ε>0 estimator is checked against an independent NumPy
+    replication of the pivot estimator (Voronoi pivots, LC/HC
+    classification, per-cell tail sums)."""
+    import numpy as np
+
+    from networkit_spark.graph import random_nodes
+    from networkit_spark.operators.closeness import approx_closeness, closeness
+
+    elist = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 2), (3, 5), (1, 6), (6, 7)]
+    g = EdgeGraph.from_edges(edges_df(spark, elist))
+    n = 8
+
+    exact = {r["node"]: r["score"] for r in closeness(g).collect()}
+    allsamp = {
+        r["node"]: r["score"]
+        for r in approx_closeness(g, nsamples=n, epsilon=0.1).collect()
+    }
+    for u in range(n):
+        # sampled nodes are exact; with k=n every node is sampled.
+        # closeness() is (n-1)/Σd; approx_closeness unnormalized is 1/Σd
+        assert allsamp[u] * (n - 1) == pytest.approx(exact[u])
+
+    # --- independent replication, k=3, eps=0.5 ---
+    k, eps = 3, 0.5
+    samples = random_nodes(g, k=k, seed=42)
+    adj = {u: set() for u in range(n)}
+    for a, b in elist:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs_d(s):
+        d, q = {s: 0}, [s]
+        while q:
+            u = q.pop(0)
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        return d
+
+    sd = {s: bfs_d(s) for s in samples}
+    piv, delta = {}, {}
+    for u in range(n):
+        delta[u], piv[u] = min((sd[s][u], s) for s in samples)
+    want = {}
+    for u in range(n):
+        if u in samples:
+            want[u] = 1.0 / sum(sd[u].values())
+            continue
+        lcsum = lcnum = hcsum = 0.0
+        for s in samples:
+            d = sd[s][u]
+            if d <= delta[u] * (1.0 / eps - 1.0) or sd[s][piv[u]] <= delta[u] / eps:
+                lcsum += d
+                lcnum += 1
+            else:
+                hcsum += d
+        cellmates = [v for v in range(n) if v not in samples and piv[v] == piv[u]]
+        hsum = sum(delta[v] for v in cellmates if delta[v] > delta[u] / eps)
+        hnum = sum(1 for v in cellmates if delta[v] > delta[u] / eps)
+        lnum = n - 1 - hnum - k + lcnum
+        raw = hsum + hcsum + lcsum * lnum / lcnum
+        want[u] = 1.0 / raw if raw > 0 else 0.0
+
+    got = {
+        r["node"]: r["score"]
+        for r in approx_closeness(g, nsamples=k, epsilon=eps, seed=42).collect()
+    }
+    for u in range(n):
+        assert got[u] == pytest.approx(want[u]), f"node {u}"
+
+    # directed graphs are rejected (documented scope)
+    dg = EdgeGraph.from_edges(edges_df(spark, [(0, 1)]), directed=True)
+    with pytest.raises(ValueError):
+        approx_closeness(dg, nsamples=1)
+
+
+def test_estimate_betweenness_alias(spark):
+    from networkit_spark.operators.betweenness import betweenness, estimate_betweenness
+
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (2, 3), (1, 3)]))
+    a = {r["node"]: r["score"] for r in estimate_betweenness(g, nsamples=4).collect()}
+    b = {r["node"]: r["score"] for r in betweenness(g, nsamples=4).collect()}
+    assert a == b
+
+
+def test_approx_closeness_weighted(spark):
+    """Weighted path routes through the keyed multi-source SSSP: k=n on
+    a weighted triangle+pendant gives exact 1/Σ weighted distances."""
+    from networkit_spark.operators.closeness import approx_closeness
+
+    g = EdgeGraph.from_edges(
+        edges_df(spark, [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 1.0)])
+    )
+    got = {r["node"]: r["score"]
+           for r in approx_closeness(g, nsamples=4, epsilon=0.1).collect()}
+    # d(0,·)=[0,2,3,4], d(1,·)=[2,0,1,2], d(2,·)=[3,1,0,1], d(3,·)=[4,2,1,0]
+    assert got[0] == pytest.approx(1.0 / 9.0)
+    assert got[1] == pytest.approx(1.0 / 5.0)
+    assert got[2] == pytest.approx(1.0 / 5.0)
+    assert got[3] == pytest.approx(1.0 / 7.0)
