@@ -20,10 +20,22 @@ parallelism.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import EdgeGraph
 from networkit_spark.operators.components import connected_components
+
+# ``_aldous_broder_walk`` crosses the driver→executor boundary via
+# applyInPandas; ship the module by value so executors don't need the
+# package on PYTHONPATH (same idiom as ``linkgraph/superstep.py``).
+try:  # pragma: no cover - depends on pyspark internals
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 
 def _boruvka_forest(
@@ -235,3 +247,92 @@ def union_maximum_spanning_forest(graph: EdgeGraph, max_levels: int = 10_000) ->
             .localCheckpoint(eager=True)
         )
     return out
+
+
+def _aldous_broder_walk(pdf) -> "pd.DataFrame":
+    """Aldous-Broder on ONE component's edge list (RandomSpanningForest
+    .cpp:21-53): random walk from a random root; first-entry edges form
+    a UNIFORM spanning tree.  Runs inside applyInPandas — plain dicts,
+    numpy RNG seeded by the component id."""
+    import numpy as np
+    import pandas as pd
+
+    comp = int(pdf["comp"].iloc[0])
+    seed = int(pdf["seed"].iloc[0])
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    if not adj:
+        return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+    rng = np.random.default_rng((seed * 1_000_003 + comp) & 0x7FFFFFFF)
+    nodes = sorted(adj)
+    curr = int(nodes[rng.integers(len(nodes))])
+    visited = {curr}
+    out_src, out_dst = [], []
+    while len(visited) < len(nodes):
+        nbrs = adj[curr]
+        nxt = int(nbrs[rng.integers(len(nbrs))])
+        if nxt not in visited:
+            out_src.append(curr)
+            out_dst.append(nxt)
+            visited.add(nxt)
+        curr = nxt
+    return pd.DataFrame({"src": out_src, "dst": out_dst}).astype("int64")
+
+
+def random_spanning_forest(
+    graph: EdgeGraph,
+    seed: int = 42,
+    max_component: int = 100_000,
+) -> DataFrame:
+    """(src, dst) — ``RandomSpanningForest`` (``cpp/components/
+    RandomSpanningForest.cpp:21-53``): a uniformly random spanning tree
+    per connected component, via Aldous-Broder first-entry random walks.
+
+    Spark shape: the walk is inherently sequential but LOCAL to one
+    component, so each component's edge list is gathered into one
+    ``applyInPandas`` group — parallel ACROSS components (the same
+    per-group pattern as GCE / MaximalCliques).  Components larger than
+    ``max_component`` nodes would make one unbounded task (and a walk
+    whose expected length is the cover time, O(n·m) worst case), so they
+    take a hash-random-weight Borůvka forest instead — still a random
+    spanning tree, but NOT exactly uniform over spanning trees (the
+    random-MST distribution differs); the cap and the deviation are the
+    documented trade, matching the cap philosophy of ``max_ego_degree``.
+    """
+    labels = connected_components(graph, impl="sql").localCheckpoint(eager=True)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    e = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(F.broadcast(sizes), "label")
+    )
+    small = (
+        e.where(F.col("sz") <= max_component)
+        .select(
+            F.col("label").alias("comp"), "src", "dst", F.lit(int(seed)).alias("seed")
+        )
+        .groupBy("comp")
+        .applyInPandas(_aldous_broder_walk, "src long, dst long")
+    )
+    big_edges = e.where(F.col("sz") > max_component)
+    if big_edges.limit(1).count() == 0:
+        return small
+    big_graph = EdgeGraph(
+        big_edges.select(
+            "src",
+            "dst",
+            (
+                F.xxhash64(F.lit(seed), "src", "dst").cast("double")
+                / F.lit(float(1 << 63))
+            ).alias("weight"),
+        ),
+        directed=False,
+        weighted=True,
+    )
+    big = minimum_spanning_forest(big_graph).select("src", "dst")
+    return small.unionByName(big)

@@ -766,3 +766,42 @@ def test_approx_closeness_weighted(spark):
     assert got[1] == pytest.approx(1.0 / 5.0)
     assert got[2] == pytest.approx(1.0 / 5.0)
     assert got[3] == pytest.approx(1.0 / 7.0)
+
+
+def test_random_spanning_forest(spark):
+    """Two components: tree edge counts are |C|-1 per component, every
+    edge is a real graph edge, the forest is acyclic and spanning; the
+    capped fallback path yields the same invariants."""
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.forest import random_spanning_forest
+
+    elist = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 0),
+             (10, 11), (11, 12), (10, 12)]
+    g = EdgeGraph.from_edges(edges_df(spark, elist))
+
+    for cap in (100_000, 2):  # walk path, then force the Borůvka fallback
+        forest = random_spanning_forest(g, seed=7, max_component=cap)
+        rows = [(r["src"], r["dst"]) for r in forest.collect()]
+        assert len(rows) == (5 - 1) + (3 - 1)
+        eset = {frozenset(e) for e in elist}
+        assert all(frozenset(e) in eset for e in rows)
+        # spanning: CC over the forest equals CC over the graph
+        fg = EdgeGraph.from_edges(
+            spark.createDataFrame(rows, "src long, dst long"))
+        fcc = {r["node"]: r["label"]
+               for r in connected_components(fg, impl="sql").collect()}
+        gcc = {r["node"]: r["label"]
+               for r in connected_components(g, impl="sql").collect()}
+        assert fcc == gcc
+
+    # uniformity smoke: across seeds the triangle component picks
+    # different trees (3 possible trees on a triangle)
+    trees = set()
+    for s in range(6):
+        forest = random_spanning_forest(g, seed=s)
+        t = frozenset(
+            frozenset((r["src"], r["dst"])) for r in forest.collect()
+            if r["src"] >= 10 or r["dst"] >= 10
+        )
+        trees.add(t)
+    assert len(trees) >= 2
