@@ -266,3 +266,24 @@ def dynamic_nmi(old: DataFrame, new: DataFrame) -> float:
     :func:`nmi`'s confusion matrix already inner-joins on node, so the
     restriction is inherent; this alias documents the dynamic contract."""
     return nmi(old, new)
+
+
+def nmi_distance(a: DataFrame, b: DataFrame) -> float:
+    """``NMIDistance::getDissimilarity`` (``cpp/community/NMIDistance
+    .cpp:19-123``): 1 − NMI (the reference's NMID via
+    ``combineValues``); equal partitions → 0."""
+    return 1.0 - nmi(a, b)
+
+
+def node_structural_rand_distance(a: DataFrame, b: DataFrame) -> float:
+    """``NodeStructuralRandMeasure::getDissimilarity``
+    (``cpp/community/NodeStructuralRandMeasure.cpp:14-59``): the
+    fraction of node pairs the two partitions DISAGREE on — 1 minus
+    :func:`rand_index`."""
+    return 1.0 - rand_index(a, b)
+
+
+def graph_structural_rand_distance(graph, a: DataFrame, b: DataFrame) -> float:
+    """``GraphStructuralRandMeasure::getDissimilarity``: edge-pair
+    disagreement fraction — 1 minus :func:`graph_rand_index`."""
+    return 1.0 - graph_rand_index(graph, a, b)

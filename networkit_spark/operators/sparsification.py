@@ -583,3 +583,115 @@ def quadrangle_score(graph: EdgeGraph) -> DataFrame:
     return e.join(quads, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("q", F.lit(0)).cast("long").alias("score")
     )
+
+
+def local_filter_score(
+    graph: EdgeGraph, attribute: DataFrame, logarithmic: bool = True
+) -> DataFrame:
+    """(src, dst, score) — the generic ``LocalFilterScore``
+    (``cpp/sparsification/LocalFilterScore.h:30-77``): per endpoint,
+    rank incident edges by ``attribute`` DESC (ties share the smallest
+    rank, SQL ``rank()`` — the reference's ``rank += numSame``
+    bookkeeping), exponent e = 1 − log(rank)/log(d) (``logarithmic``)
+    or 1 − (rank−1)/(d−1); each edge keeps the max of its two endpoint
+    exponents.  ``attribute``: (src, dst, score) per canonical edge.
+    ``local_degree_score`` is this filter over neighbor degree; this
+    surface accepts ANY edge attribute (e.g. SimmelianOverlap or
+    triangle counts, the reference's common instantiations)."""
+    e = attribute.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        F.col("score").alias("attr"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "attr")
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    w = Window.partitionBy("src").orderBy(F.desc("attr"))
+    ranked = (
+        sym.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumn("rnk", F.rank().over(w))
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("deg") <= 1, F.lit(1.0))
+            .otherwise(
+                1.0 - F.log(F.col("rnk").cast("double")) / F.log(F.col("deg").cast("double"))
+                if logarithmic
+                else 1.0 - (F.col("rnk") - 1).cast("double") / (F.col("deg") - 1)
+            )
+            .alias("side_score"),
+        )
+    )
+    return (
+        ranked.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "side_score",
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("side_score").alias("score"))
+    )
+
+
+def random_node_edge_score(
+    graph: EdgeGraph, rne_ratio: float = 0.8, seed: int = 42
+) -> DataFrame:
+    """(src, dst, score) — ``RandomNodeEdgeScore`` (``cpp/sparsification/
+    RandomNodeEdgeScore.cpp:12-58``): scores are removal-order positions
+    of a random edge-removal process mixing node-biased picks (random
+    node → random incident edge, probability ``rne_ratio``) with uniform
+    picks.
+
+    Spark shape + documented deviation: the reference removes edges ONE
+    AT A TIME (each pick re-normalizes over the surviving edges) — a
+    driver loop of m steps.  Here the order is drawn in one shot as an
+    exponential race: every edge gets priority −log(U)/p(e) with p(e)
+    the FIRST-step mixture probability (p ∝ rne·(1/deg u + 1/deg v)/n +
+    (1−rne)/m); the race realizes successive-sampling-without-
+    replacement under FIXED weights, so it matches the reference's
+    process exactly only while degrees don't drift — the same
+    first-order bias (low-degree incident edges leave early → score
+    low), fully parallel.  score = rank/m in [0, 1)."""
+    e = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    m = e.count()
+    if m == 0:
+        return e.select("src", "dst", F.lit(0.0).alias("score"))
+    ann = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("du")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dv")), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                F.lit(rne_ratio) * (1.0 / F.col("du") + 1.0 / F.col("dv")) / F.lit(float(n))
+                + F.lit((1.0 - rne_ratio) / m)
+            ).alias("p"),
+        )
+    )
+    u01 = (
+        (F.xxhash64(F.lit(seed), "src", "dst").cast("double") / F.lit(float(1 << 64)))
+        + 0.5
+    )
+    raced = ann.withColumn(
+        "prio", -F.log(F.greatest(u01, F.lit(1e-18))) / F.col("p")
+    )
+    w = Window.orderBy("prio", "src", "dst")
+    # ordering window over the edge list: rank/m — like the reference,
+    # the score is a GLOBAL removal position; for cluster scale prefer
+    # using `prio` directly as the (equivalent, shuffle-free) ordering.
+    return raced.select(
+        "src", "dst",
+        ((F.row_number().over(w) - 1).cast("double") / F.lit(float(m))).alias("score"),
+    )

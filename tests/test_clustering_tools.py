@@ -123,3 +123,22 @@ def test_dyn_weakly_components(spark):
     got = {r["node"]: r["label"] for r in lab2.collect()}
     want = {r["node"]: r["label"] for r in static.collect()}
     assert got == want
+
+
+def test_dissimilarity_wrappers(spark):
+    from networkit_spark.operators.partition_similarity import (
+        graph_structural_rand_distance,
+        nmi_distance,
+        node_structural_rand_distance,
+    )
+
+    a = _labels(spark, [(0, 1), (1, 1), (2, 2), (3, 2)])
+    b = _labels(spark, [(0, 9), (1, 9), (2, 8), (3, 8)])  # same, renamed
+    assert nmi_distance(a, a) == pytest.approx(0.0)
+    assert nmi_distance(a, b) == pytest.approx(0.0)
+    assert node_structural_rand_distance(a, b) == pytest.approx(0.0)
+    c = _labels(spark, [(0, 1), (1, 2), (2, 2), (3, 2)])
+    assert node_structural_rand_distance(a, c) > 0
+    g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (2, 3)]))
+    assert graph_structural_rand_distance(g, a, b) == pytest.approx(0.0)
+    assert graph_structural_rand_distance(g, a, c) > 0

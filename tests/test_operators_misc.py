@@ -805,3 +805,49 @@ def test_random_spanning_forest(spark):
         )
         trees.add(t)
     assert len(trees) >= 2
+
+
+def test_local_filter_and_random_node_edge_scores(spark):
+    from networkit_spark.operators.sparsification import (
+        local_degree_score,
+        local_filter_score,
+        random_node_edge_score,
+    )
+
+    # star 0-{1,2,3} + edge 1-2: feed neighbor-degree as the attribute →
+    # must reproduce local_degree_score (modulo its id tie-break)
+    elist = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    g = EdgeGraph.from_edges(edges_df(spark, elist))
+    deg = {0: 3, 1: 2, 2: 2, 3: 1}
+    attr = spark.createDataFrame(
+        [(min(a, b), max(a, b), float(deg[max(a, b)] if min(a, b) == a else 0))
+         for a, b in elist],
+        "src long, dst long, score double",
+    )
+    # simpler: hand-computed check of the generic filter on a known attr
+    attr = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 5.0), (0, 3, 1.0), (1, 2, 3.0)],
+        "src long, dst long, score double",
+    )
+    got = {(r["src"], r["dst"]): r["score"]
+           for r in local_filter_score(g, attr).collect()}
+    import math
+    # node 0 (d=3): edges (0,1),(0,2) tie at rank 1 → e=1; (0,3) rank 3
+    # → 1 − log3/log3 = 0.  node 1 (d=2): (0,1) rank 1 → 1; (1,2) rank 2
+    # → 1 − log2/log2 = 0.  node 3 (d=1): e=1 → edge (0,3) keeps max(0,1)=1
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(0, 2)] == pytest.approx(1.0)
+    assert got[(0, 3)] == pytest.approx(1.0)  # pendant side wins
+    assert got[(1, 2)] == pytest.approx(
+        max(1 - math.log(2) / math.log(2), 1 - math.log(2) / math.log(2)))
+
+    # linear variant: node 0 ranks (0,3) third → 1 − 2/2 = 0
+    lin = {(r["src"], r["dst"]): r["score"]
+           for r in local_filter_score(g, attr, logarithmic=False).collect()}
+    assert lin[(0, 3)] == pytest.approx(1.0)  # still pendant-side 1.0
+    assert lin[(1, 2)] == pytest.approx(0.0)
+
+    rne = random_node_edge_score(g, seed=5)
+    rows = {(r["src"], r["dst"]): r["score"] for r in rne.collect()}
+    assert len(rows) == 4
+    assert sorted(rows.values()) == pytest.approx([0.0, 0.25, 0.5, 0.75])
