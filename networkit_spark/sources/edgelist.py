@@ -172,3 +172,53 @@ def read_binary_partition(spark: SparkSession, path: str, width: int = 8) -> Dat
     return spark.createDataFrame(
         [(i, int(p)) for i, p in enumerate(arr)], "node long, label long"
     )
+
+
+def read_binary_edgelist_partition(
+    spark: SparkSession, path: str, first_node: int = 0, width: int = 8
+) -> DataFrame:
+    """(node, label) — ``BinaryEdgeListPartitionReader``
+    (``cpp/io/BinaryEdgeListPartitionReader.cpp:8-60``): consecutive
+    little-endian (node, partition) PAIRS of ``width`` (4 or 8) bytes;
+    node ids below ``first_node`` are rejected, ids are shifted down by
+    it.  Sparse/unordered ids are fine (unlike the positional
+    ``BinaryPartitionReader``)."""
+    import os
+
+    import numpy as np
+
+    if width not in (4, 8):
+        raise ValueError("Error: width must be 4 or 8")
+    if os.path.getsize(path) % (2 * width) != 0:
+        raise ValueError("file must hold a whole number of (node, partition) pairs")
+    arr = np.fromfile(path, dtype="<u4" if width == 4 else "<u8").reshape(-1, 2)
+    if arr.size and int(arr[:, 0].min()) < first_node:
+        raise ValueError("Error: node smaller than the given firstNode found!")
+    return spark.createDataFrame(
+        [(int(u) - first_node, int(p)) for u, p in arr], "node long, label long"
+    )
+
+
+def write_binary_edgelist_partition(
+    labels: DataFrame, path: str, first_node: int = 0, width: int = 8
+) -> None:
+    """``BinaryEdgeListPartitionWriter`` counterpart: little-endian
+    (node + first_node, label) pairs in ascending node order.  Works for
+    sparse id spaces; single binary stream ⇒ driver-side, like the
+    reference."""
+    import numpy as np
+
+    if width not in (4, 8):
+        raise ValueError("Error: width must be 4 or 8")
+    rows = labels.select("node", "label").orderBy("node").collect()
+    dt = "<u4" if width == 4 else "<u8"
+    arr = np.empty((len(rows), 2), dtype=dt)
+    for i, r in enumerate(rows):
+        arr[i, 0] = r["node"] + first_node
+        arr[i, 1] = r["label"]
+    if width == 4 and len(rows):
+        if max(r["node"] + first_node for r in rows) >= (1 << 32) or max(
+            r["label"] for r in rows
+        ) >= (1 << 32):
+            raise ValueError("values exceed 32-bit width")
+    arr.tofile(path)

@@ -142,3 +142,24 @@ def test_dissimilarity_wrappers(spark):
     g = EdgeGraph.from_edges(edges_df(spark, [(0, 1), (1, 2), (2, 3)]))
     assert graph_structural_rand_distance(g, a, b) == pytest.approx(0.0)
     assert graph_structural_rand_distance(g, a, c) > 0
+
+
+def test_binary_edgelist_partition_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.edgelist import (
+        read_binary_edgelist_partition,
+        write_binary_edgelist_partition,
+    )
+
+    labels = _labels(spark, [(0, 5), (3, 7), (10, 5), (42, 9)])  # sparse ids
+    for width in (4, 8):
+        p = str(tmp_path / f"part{width}.bin")
+        write_binary_edgelist_partition(labels, p, width=width)
+        back = read_binary_edgelist_partition(spark, p, width=width)
+        got = {(r["node"], r["label"]) for r in back.collect()}
+        assert got == {(0, 5), (3, 7), (10, 5), (42, 9)}
+    # first_node shift roundtrip
+    p = str(tmp_path / "shift.bin")
+    write_binary_edgelist_partition(labels, p, first_node=1)
+    back = read_binary_edgelist_partition(spark, p, first_node=1)
+    assert {(r["node"], r["label"]) for r in back.collect()} == \
+        {(0, 5), (3, 7), (10, 5), (42, 9)}
