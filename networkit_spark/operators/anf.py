@@ -108,3 +108,40 @@ def effective_diameter_approx(
         if est >= target:
             return h
     return nf[-1][0]
+
+
+def effective_diameter(graph: EdgeGraph, ratio: float = 0.9) -> float:
+    """EXACT effective diameter (``cpp/distance/EffectiveDiameter
+    .cpp:22-65``): mean over nodes v of the smallest h ≥ 1 with
+    |ball(v, h)| ≥ ⌈ratio·n⌉.  Undirected single-component graphs only,
+    like the reference (both rejected up front).
+
+    Spark shape: rides the keyed APSP table (all wavefronts in one
+    min-plus superstep loop) — O(n²) state like the reference's per-node
+    bitmaps; the exact anchor for :func:`effective_diameter_approx`,
+    fixture-scale by design (``streaming/dyndist.apsp_state`` documents
+    the bound)."""
+    import math as _math
+
+    from pyspark.sql.window import Window
+
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.streaming.dyndist import apsp_state
+
+    if graph.directed:
+        raise ValueError("effective_diameter: undirected graphs only")
+    ncomp = (
+        connected_components(graph, impl="sql").select("label").distinct().count()
+    )
+    if ncomp > 1:
+        raise ValueError("effective_diameter: graph must be connected")
+    n = graph.num_nodes()
+    threshold = int(_math.ceil(ratio * n) + 0.5)
+    dist = apsp_state(graph, hops=True).dist
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    eff = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == threshold)
+        .select("src", F.greatest(F.col("dist"), F.lit(1.0)).alias("eff"))
+    )
+    return eff.agg(F.avg("eff")).collect()[0][0]

@@ -433,3 +433,128 @@ def neighborhood_function_heuristic(
             acc += int(round(counts.get(h, 0) * norm))
         rows.append((h, acc))
     return graph.spark.createDataFrame(rows, "h int, reachable_pairs long")
+
+
+def diameter_exact(
+    graph: EdgeGraph, error: float = 0.0, max_bfs: int | None = None
+) -> tuple[int, int]:
+    """(lower, upper) diameter bounds — the exactSumSweep loop
+    (``cpp/distance/Diameter.cpp:81-229``, Borassi et al.); error=0 runs
+    until the bounds MEET, i.e. the exact diameter
+    (``Diameter::exactDiameter``).  Unweighted undirected graphs, like
+    the reference.
+
+    Spark shape: per round ONE keyed multi-source BFS (a start node per
+    component — every component's wavefront advances in the same
+    superstep loop), then the reference's per-node eccentricity bound
+    updates as one join + aggregate; start-node selection is a
+    per-component ``max_by`` aggregate (even rounds: largest
+    (ecc_ub, dist); odd rounds: the reference's central-but-far
+    heuristic).  Rounds are adaptive — typically a handful of BFS on
+    real-world graphs.
+
+    Distances are HOPS (the reference rejects weighted graphs; here the
+    weight column is simply ignored, matching ``bfs`` and
+    ``diameter_range``)."""
+    if graph.directed:
+        raise ValueError("diameter_exact: undirected graphs only")
+    from networkit_spark.operators.components import connected_components
+
+    spark = graph.spark
+    n = graph.num_nodes()
+    if n == 0:
+        return (0, 0)
+    comp = connected_components(graph, impl="sql").select(
+        "node", F.col("label").alias("comp")
+    )
+    deg = graph.degrees().select("node", "deg")
+    sym = graph.sym().select("src", "dst").persist()
+
+    state = (
+        comp.join(deg, "node")
+        .select(
+            "node", "comp", "deg",
+            F.lit(0).alias("ecc_lb"), F.lit(int(n)).alias("ecc_ub"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # first start nodes: per component, max degree (ties: larger node —
+    # the reference keeps the LAST max-degree node in id order)
+    starts = [
+        r["s"]
+        for r in state.groupBy("comp")
+        .agg(F.expr("max_by(node, struct(deg, node))").alias("s"))
+        .collect()
+    ]
+
+    lb, ub = 0, n
+    budget = max_bfs if max_bfs is not None else 2 * n
+    dist_first = {}
+    for i in range(budget):
+        kd = _keyed_bfs(sym, starts)  # (s, node, dist)
+        d = kd.join(
+            state.select("node", "comp", "deg"), "node"
+        ).select("comp", "node", "dist", "deg")
+        ca = (
+            d.groupBy("comp")
+            .agg(
+                F.max("dist").alias("ecc_c"),
+                F.min(F.when(F.col("deg") > 1, F.col("dist"))).alias("dist_first"),
+            )
+            .select(
+                "comp", "ecc_c",
+                F.coalesce("dist_first", F.lit(0)).alias("dist_first"),
+            )
+        )
+        state = (
+            state.select("node", "comp", "deg", "ecc_lb", "ecc_ub")
+            .join(d.select("node", "dist"), "node")
+            .join(F.broadcast(ca), "comp")
+            .select(
+                "node", "comp", "deg", "dist", "dist_first",
+                F.greatest(
+                    "ecc_lb", F.greatest("dist", F.col("ecc_c") - F.col("dist"))
+                ).alias("ecc_lb"),
+                F.when(
+                    F.col("dist") <= F.col("dist_first"),
+                    F.greatest("dist", F.col("ecc_c") - F.col("dist")),
+                )
+                .otherwise(
+                    F.least(
+                        "ecc_ub",
+                        F.col("dist") + F.col("ecc_c") - 2 * F.col("dist_first"),
+                    )
+                )
+                .alias("ecc_ub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = state.agg(
+            F.max("ecc_lb").alias("lb"), F.max("ecc_ub").alias("ub")
+        ).collect()[0]
+        lb, ub = int(row["lb"]), int(row["ub"])
+        if ub <= lb + error * lb:
+            break
+        if i % 2 == 0:
+            sel = state.groupBy("comp").agg(
+                F.expr("max_by(node, struct(ecc_ub, dist))").alias("s")
+            )
+        else:
+            # central (small ecc_lb + dist) but beyond dist_first; among
+            # equals the farthest from the previous start
+            eligible = state.where(F.col("dist") > F.col("dist_first"))
+            fallback = state.groupBy("comp").agg(F.min("node").alias("fb"))
+            sel = (
+                eligible.groupBy("comp")
+                .agg(
+                    F.expr(
+                        "min_by(node, struct(ecc_lb + dist, -dist, node))"
+                    ).alias("s")
+                )
+                .join(fallback, "comp", "right")
+                .select("comp", F.coalesce("s", F.col("fb")).alias("s"))
+            )
+        starts = [r["s"] for r in sel.collect()]
+    sym.unpersist()
+    return (lb, ub)

@@ -851,3 +851,59 @@ def test_local_filter_and_random_node_edge_scores(spark):
     rows = {(r["src"], r["dst"]): r["score"] for r in rne.collect()}
     assert len(rows) == 4
     assert sorted(rows.values()) == pytest.approx([0.0, 0.25, 0.5, 0.75])
+
+
+def test_diameter_exact_and_effective(spark):
+    import itertools
+
+    from networkit_spark.operators.anf import effective_diameter
+    from networkit_spark.operators.bfs import diameter_exact
+
+    # two components: a 6-path (diam 5) and a triangle (diam 1)
+    elist = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    g = EdgeGraph.from_edges(edges_df(spark, elist))
+    lb, ub = diameter_exact(g)
+    assert lb == ub == 5
+
+    # random-ish connected graph vs NumPy BFS oracle
+    el2 = [(0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (4, 5), (5, 6), (6, 2), (0, 7)]
+    g2 = EdgeGraph.from_edges(edges_df(spark, el2))
+    adj = {}
+    for a, b in el2:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs_d(s):
+        d, q = {s: 0}, [s]
+        while q:
+            u = q.pop(0)
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        return d
+
+    true_diam = max(max(bfs_d(s).values()) for s in adj)
+    lb2, ub2 = diameter_exact(g2)
+    assert lb2 == ub2 == true_diam
+
+    with pytest.raises(ValueError):
+        diameter_exact(EdgeGraph.from_edges(edges_df(spark, [(0, 1)]), directed=True))
+
+    # exact effective diameter vs brute force on the connected graph
+    n = len(adj)
+    import math
+    for ratio in (0.5, 0.9):
+        thr = int(math.ceil(ratio * n) + 0.5)
+        effs = []
+        for v in adj:
+            dmap = bfs_d(v)
+            h = 1
+            while sum(1 for x in dmap.values() if x <= h) < thr:
+                h += 1
+            effs.append(h)
+        want = sum(effs) / n
+        got = effective_diameter(g2, ratio=ratio)
+        assert got == pytest.approx(want), ratio
+    with pytest.raises(ValueError):
+        effective_diameter(g)  # disconnected
