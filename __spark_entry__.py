@@ -637,9 +637,11 @@ def _q_ba_degrees(spark, sf_dir):
 
 
 def _q_kcore(spark, sf_dir):
-    """Core decomposition (iterated H-index fixpoint) — rows-only (no
-    ANSI-SQL fixpoint); exactness pytest-verified on golden fixtures and
-    against the peel variant."""
+    """Core decomposition (iterated H-index fixpoint) — oracle-checked:
+    the DuckDB side runs the SAME H-index iteration as a recursive CTE
+    (64 bounded rounds; fixpoint is idempotent so extra rounds are
+    no-ops), validated against an independent heap-peel; exactness also
+    pytest-verified against the peel variant on golden fixtures."""
     from networkit_spark.operators.kcore import core_decomposition_hindex
 
     g = tpch_link_graph(spark, sf_dir)
@@ -1523,6 +1525,25 @@ reach(src, node, dist) AS (
 ),
 mind AS (SELECT src, node, MIN(dist) AS dist FROM reach GROUP BY src, node)
 SELECT src, dist, COUNT(*) AS n_pairs FROM mind WHERE src <> node GROUP BY src, dist
+""",
+        "graph_kcore": f"""
+WITH RECURSIVE edges AS ({_EDGES}),
+e1 AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+sym AS (SELECT src AS u, dst AS v FROM e1 UNION SELECT dst, src FROM e1),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS val FROM sym GROUP BY u),
+it(i, node, val) AS (
+  SELECT 0, node, val FROM deg
+  UNION ALL
+  SELECT i + 1, node, CAST(COUNT(*) FILTER (WHERE nval >= rn) AS BIGINT)
+  FROM (
+    SELECT t.i AS i, s.u AS node, t.val AS nval,
+           ROW_NUMBER() OVER (PARTITION BY t.i, s.u ORDER BY t.val DESC) AS rn
+    FROM it t JOIN sym s ON s.v = t.node
+    WHERE t.i < 64
+  ) x
+  GROUP BY i, node
+)
+SELECT node, val AS core FROM it WHERE i = 64
 """,
         "graph_dyn_topharmonic": f"""
 WITH RECURSIVE edges AS ({_EDGES}),
