@@ -181,7 +181,21 @@ class PageRankBlobEngine:
         self.P = meta["P"]
         self.n = meta["n"]
         self.salted = meta.get("salted", False)
+        self._m_sym = meta.get("m_sym")
         return self
+
+    def m_sym(self) -> int:
+        """Symmetrized edge rows in the store (gather rows/superstep).
+        Older stores lack the meta field — fall back to summing the
+        per-part ``rinv`` mmap headers (no data pages touched)."""
+        if getattr(self, "_m_sym", None) is None:
+            total = 0
+            for p in self.state_parts:
+                path = os.path.join(self.blob_dir, f"p{p}_rinv.npy")
+                if os.path.exists(path):
+                    total += int(np.load(path, mmap_mode="r").shape[0])
+            self._m_sym = total
+        return self._m_sym
 
     def __init__(self, graph: EdgeGraph, num_parts: int | None = None,
                  blob_root: str | None = None, blob_dir: str | None = None,
@@ -290,8 +304,11 @@ class PageRankBlobEngine:
         odeg.unpersist()
         import json
 
+        self._m_sym = m_sym
         with open(os.path.join(bd, "meta.json"), "w") as f:
-            json.dump({"P": P, "n": self.n, "salted": self.salted}, f)
+            json.dump(
+                {"P": P, "n": self.n, "salted": self.salted, "m_sym": m_sym}, f
+            )
 
     def run(
         self,
@@ -300,15 +317,35 @@ class PageRankBlobEngine:
         max_iter: int | None = None,
         checkpointer: Checkpointer | None = None,
         chain_k: int = 8,
+        fused_local: bool | None = None,
     ) -> DataFrame:
         """Returns (node, rank), Σ rank = 1 — reference semantics
         (dangling mass lost; L2 tol; final normalization;
         ``PageRank.cpp:20-71``).  ``chain_k`` supersteps run fused per
-        Spark job (see loop comment)."""
+        Spark job (see loop comment).
+
+        ``fused_local`` — small-store escape hatch: when the whole CSR
+        store fits one executor's memory (m_sym ≤
+        ``$SPARK_GRAFT_FUSED_EDGES``, default 2²³; that's ≤ ~200 MB of
+        blobs), every per-superstep shuffle-exchange is pure overhead:
+        the numpy kernel is ~30 ms/superstep at sf0.1 while a Spark
+        stage costs ~0.25-0.5 s on this box (measured floor of a 10-deep
+        trivial applyInPandas chain).  In fused-local mode each chain of
+        ``chain_k`` supersteps runs inside ONE single-task stage — the
+        task loads the same CSR blocks and runs the identical
+        gather/update algebra in-process, emitting the SAME protocol
+        rows (kind-1 state + merged kind-0 slabs), so checkpoints,
+        resume, the L2 delta rule, and results interoperate with the
+        distributed path (pytest-asserted equal).  Large stores keep the
+        distributed exchange; ``None`` = auto by threshold."""
         if getattr(self, "salted", False):
             return self._run_salted(
                 damp=damp, tol=tol, max_iter=max_iter,
                 checkpointer=checkpointer, chain_k=chain_k,
+            )
+        if fused_local is None:
+            fused_local = self.m_sym() <= int(
+                os.environ.get("SPARK_GRAFT_FUSED_EDGES", str(1 << 23))
             )
         P, n, bd = self.P, self.n, self.blob_dir
         damp_f, teleport = float(damp), (1.0 - damp) / n
@@ -422,6 +459,85 @@ class PageRankBlobEngine:
 
         schema = "key int, kind int, blob binary, gathered int, delta_sq double, rank_sum double"
 
+        state_parts = self.state_parts
+
+        def _gather_all(ranks):
+            """One in-process gather over every CSR block → merged dense
+            slabs per destination part (identical algebra to
+            ``fused_stage``'s gather, pre-summed across source parts)."""
+            slabs = {q: np.zeros(part_sizes[q]) for q in state_parts}
+            for part in state_parts:
+                if not os.path.exists(os.path.join(bd, f"p{part}_row.npy")):
+                    continue
+                snodes, invw = _load(bd, part, ("snodes", "invw"))
+                row_nodes, indptr, inv, bounds = _load(
+                    bd, part, ("row", "indptr", "rinv", "rbounds")
+                )
+                w = _load_opt(bd, part, "w")
+                key = (bd, part, "__gatherplan")
+                plan_arrs = _BLOB_CACHE.get(key)
+                if plan_arrs is None:
+                    pos = np.searchsorted(snodes, row_nodes)
+                    counts = np.diff(indptr)
+                    plan_arrs = (pos, counts)
+                    _BLOB_CACHE[key] = plan_arrs
+                pos, counts = plan_arrs
+                vals = ranks[part] * invw
+                contrib = np.repeat(vals[pos], counts)
+                if w is not None:
+                    contrib = contrib * np.asarray(w)
+                sums = np.bincount(inv, weights=contrib, minlength=int(bounds[-1]))
+                ridx = _load(bd, part, ("ridx",))[0]
+                for q in range(P):
+                    lo, hi = int(bounds[q]), int(bounds[q + 1])
+                    if lo < hi:
+                        slabs[q][np.asarray(ridx[lo:hi])] += sums[lo:hi]
+            return slabs
+
+        def make_fused_local(steps):
+            def fused_local_iter(batches):
+                rows = pd.concat(list(batches), ignore_index=True)
+                srows = rows[rows["kind"] == 1]
+                ranks = {
+                    int(r["key"]): np.frombuffer(r["blob"], dtype=np.float64)
+                    for _, r in srows.iterrows()
+                }
+                pending = bool(srows["gathered"].astype(int).max())
+                if pending:
+                    slabs = {q: np.zeros(part_sizes[q]) for q in state_parts}
+                    for _, r in rows[rows["kind"] == 0].iterrows():
+                        slabs[int(r["key"])] += np.frombuffer(
+                            r["blob"], dtype=np.float64
+                        )
+                else:  # primer: current ranks have no pending update
+                    slabs = _gather_all(ranks)
+                deltas = {p: float("inf") for p in state_parts}
+                for _ in range(steps):
+                    for p in state_parts:
+                        new = damp_f * slabs[p] + teleport
+                        deltas[p] = float(((ranks[p] - new) ** 2).sum())
+                        ranks[p] = new
+                    slabs = _gather_all(ranks)
+                out = {"key": [], "kind": [], "blob": [], "gathered": [],
+                       "delta_sq": [], "rank_sum": []}
+                for q in state_parts:
+                    out["key"].append(q)
+                    out["kind"].append(0)
+                    out["blob"].append(slabs[q].tobytes())
+                    out["gathered"].append(1)
+                    out["delta_sq"].append(0.0)
+                    out["rank_sum"].append(0.0)
+                for p in state_parts:
+                    out["key"].append(p)
+                    out["kind"].append(1)
+                    out["blob"].append(ranks[p].tobytes())
+                    out["gathered"].append(1)
+                    out["delta_sq"].append(deltas[p])
+                    out["rank_sum"].append(float(ranks[p].sum()))
+                yield pd.DataFrame(out)
+
+            return fused_local_iter
+
         def as_stream(st):
             return st.select(
                 F.col("part").alias("key"), F.lit(1).alias("kind"),
@@ -431,7 +547,8 @@ class PageRankBlobEngine:
 
         if "kind" not in state.columns:
             stream = as_stream(state)
-            stream = stream.groupBy("key").applyInPandas(fused_stage, schema)  # primer
+            if not fused_local:
+                stream = stream.groupBy("key").applyInPandas(fused_stage, schema)  # primer
         else:
             stream = state
 
@@ -440,10 +557,16 @@ class PageRankBlobEngine:
             steps = chain_k
             if max_iter is not None:
                 steps = min(steps, max_iter - it)
-            plan = stream
-            for _ in range(max(steps, 1)):
-                plan = plan.groupBy("key").applyInPandas(fused_stage, schema)
-                it += 1
+            if fused_local:
+                plan = stream.repartition(1).mapInPandas(
+                    make_fused_local(max(steps, 1)), schema
+                )
+                it += max(steps, 1)
+            else:
+                plan = stream
+                for _ in range(max(steps, 1)):
+                    plan = plan.groupBy("key").applyInPandas(fused_stage, schema)
+                    it += 1
             stream = ckpt.step(plan, it, rows=n, wall_ms=(time.time() - t0) * 1e3)
             sums = stream.where(F.col("kind") == 1).agg(
                 F.sum("delta_sq").alias("d"), F.sum("rank_sum").alias("s")
@@ -682,18 +805,25 @@ class PageRankBlobEngine:
         max_iter: int | None = None,
         checkpointer: Checkpointer | None = None,
         chain_k: int = 8,
+        fused_local: bool | None = None,
     ) -> DataFrame:
         """Min-label connected components on the SAME blob store —
         identical fused single-stage superstep as PageRank with the
         combine swapped: dense label slabs merge with elementwise MIN
         (labels ride as float64; node ids < 2^53 are exact).  Returns
         (node, label) with canonical min-node-id labels
-        (``ParallelConnectedComponents.cpp`` fixpoint)."""
+        (``ParallelConnectedComponents.cpp`` fixpoint).  ``fused_local``
+        as in :meth:`run` — small stores run each chain inside one
+        single-task stage (same protocol rows, min-combine algebra)."""
         if getattr(self, "salted", False):
             raise NotImplementedError(
                 "run_components on a hub-salted blob store is not wired "
                 "yet — prepare with a higher hub_cap or use impl='csr' "
                 "(salted) / impl='sql' for components"
+            )
+        if fused_local is None:
+            fused_local = self.m_sym() <= int(
+                os.environ.get("SPARK_GRAFT_FUSED_EDGES", str(1 << 23))
             )
         P, bd = self.P, self.blob_dir
         part_sizes = self.part_sizes
@@ -785,15 +915,95 @@ class PageRankBlobEngine:
             return pd.DataFrame(rows)
 
         schema = "key int, kind int, blob binary, gathered int, changed double"
+
+        state_parts = self.state_parts
+
+        def _gather_min(labels):
+            slabs = {q: np.full(part_sizes[q], INF) for q in state_parts}
+            for part in state_parts:
+                if not os.path.exists(os.path.join(bd, f"p{part}_row.npy")):
+                    continue
+                (snodes,) = _load(bd, part, ("snodes",))
+                row_nodes, indptr, inv, bounds, ridx = _load(
+                    bd, part, ("row", "indptr", "rinv", "rbounds", "ridx")
+                )
+                key = (bd, part, "__gatherplan")
+                plan_arrs = _BLOB_CACHE.get(key)
+                if plan_arrs is None:
+                    plan_arrs = (np.searchsorted(snodes, row_nodes), np.diff(indptr))
+                    _BLOB_CACHE[key] = plan_arrs
+                pos, counts = plan_arrs
+                sent = np.repeat(labels[part][pos], counts)
+                mins = np.full(int(bounds[-1]), INF)
+                np.minimum.at(mins, np.asarray(inv), sent)
+                for q in range(P):
+                    lo, hi = int(bounds[q]), int(bounds[q + 1])
+                    if lo < hi:
+                        sl = np.asarray(ridx[lo:hi])
+                        slabs[q][sl] = np.minimum(slabs[q][sl], mins[lo:hi])
+            return slabs
+
+        def make_fused_local_cc(steps):
+            def fused_local_iter(batches):
+                rows = pd.concat(list(batches), ignore_index=True)
+                srows = rows[rows["kind"] == 1]
+                labels = {
+                    int(r["key"]): np.frombuffer(r["blob"], dtype=np.float64)
+                    for _, r in srows.iterrows()
+                }
+                pending = bool(srows["gathered"].astype(int).max())
+                # distributed CC counts its primer stage (gather-only) as
+                # an iteration — mirror that so fixed-max_iter runs agree
+                upd = steps if pending else steps - 1
+                if pending:
+                    slabs = {q: np.full(part_sizes[q], INF) for q in state_parts}
+                    for _, r in rows[rows["kind"] == 0].iterrows():
+                        np.minimum(
+                            slabs[int(r["key"])],
+                            np.frombuffer(r["blob"], dtype=np.float64),
+                            out=slabs[int(r["key"])],
+                        )
+                else:
+                    slabs = _gather_min(labels)
+                chg = {p: float("inf") for p in state_parts}
+                for _ in range(upd):
+                    for p in state_parts:
+                        new = np.minimum(labels[p], slabs[p])
+                        chg[p] = float((new < labels[p]).sum())
+                        labels[p] = new
+                    slabs = _gather_min(labels)
+                out = {"key": [], "kind": [], "blob": [], "gathered": [], "changed": []}
+                for q in state_parts:
+                    out["key"].append(q)
+                    out["kind"].append(0)
+                    out["blob"].append(slabs[q].tobytes())
+                    out["gathered"].append(1)
+                    out["changed"].append(0.0)
+                for p in state_parts:
+                    out["key"].append(p)
+                    out["kind"].append(1)
+                    out["blob"].append(labels[p].tobytes())
+                    out["gathered"].append(1)
+                    out["changed"].append(chg[p])
+                yield pd.DataFrame(out)
+
+            return fused_local_iter
+
         while True:
             t0 = time.time()
             steps = chain_k
             if max_iter is not None:
                 steps = min(steps, max_iter - it)
-            plan = stream
-            for _ in range(max(steps, 1)):
-                plan = plan.groupBy("key").applyInPandas(fused_stage, schema)
-                it += 1
+            if fused_local:
+                plan = stream.repartition(1).mapInPandas(
+                    make_fused_local_cc(max(steps, 1)), schema
+                )
+                it += max(steps, 1)
+            else:
+                plan = stream
+                for _ in range(max(steps, 1)):
+                    plan = plan.groupBy("key").applyInPandas(fused_stage, schema)
+                    it += 1
             stream = ckpt.step(plan, it, wall_ms=(time.time() - t0) * 1e3)
             changed = stream.where(F.col("kind") == 1).agg(
                 F.sum("changed")

@@ -103,3 +103,47 @@ def test_hub_salted_matches_unsalted(spark):
     assert np.allclose(ref, salted, atol=1e-14)
     want = pagerank_oracle(44, edges, tol=1e-10)
     assert np.allclose(salted, want, atol=1e-6)
+
+
+def test_fused_local_matches_distributed(spark):
+    """The small-store fused-local chain (one single-task stage per
+    chain_k supersteps) reproduces the distributed exchange exactly —
+    PageRank to 1e-13 and CC labels bit-equal."""
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    eng = PageRankBlobEngine(g, num_parts=4)
+    a = _scores(eng.run(tol=1e-12, max_iter=16, fused_local=False), 8)
+    b = _scores(eng.run(tol=1e-12, max_iter=16, fused_local=True), 8)
+    assert np.allclose(a, b, atol=1e-13)
+    # convergence-rule parity too (tol stop, not fixed iters)
+    a = _scores(eng.run(tol=1e-8, fused_local=False), 8)
+    b = _scores(eng.run(tol=1e-8, fused_local=True), 8)
+    assert np.allclose(a, b, atol=1e-13)
+    ca = sorted(map(tuple, eng.run_components(fused_local=False).collect()))
+    cb = sorted(map(tuple, eng.run_components(fused_local=True).collect()))
+    assert ca == cb
+    # fixed-iteration (mid-run) CC parity: primer accounting matches
+    for mi in (1, 2):
+        da = sorted(map(tuple, eng.run_components(max_iter=mi, fused_local=False).collect()))
+        db = sorted(map(tuple, eng.run_components(max_iter=mi, fused_local=True).collect()))
+        assert da == db
+    eng.close()
+
+
+def test_fused_local_resume_interop(spark, tmp_path):
+    """A checkpoint written by the distributed protocol resumes under
+    the fused-local path (and lands on the clean-run answer): the fused
+    stage emits/consumes the same kind-0/kind-1 protocol rows."""
+    from networkit_spark.linkgraph.superstep import Checkpointer
+
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    eng = PageRankBlobEngine(g, num_parts=4)
+    want = _scores(eng.run(tol=1e-12, max_iter=16, chain_k=4, fused_local=False), 8)
+    d = str(tmp_path / "ck")
+    eng.run(tol=1e-12, max_iter=8, chain_k=4,
+            checkpointer=Checkpointer(d), fused_local=False)
+    got = _scores(
+        eng.run(tol=1e-12, max_iter=16, chain_k=4,
+                checkpointer=Checkpointer(d), fused_local=True), 8,
+    )
+    assert np.allclose(got, want, atol=1e-13)
+    eng.close()
