@@ -407,6 +407,8 @@ class PageRankBlobEngine:
             A state row with gathered=0 marks a primer stage: gather
             only, no update (slabs can be legitimately absent for a
             partition nothing links to)."""
+            _tr = os.environ.get("SPARK_GRAFT_KERNEL_TRACE")
+            _t0 = time.perf_counter()
             srow = pdf[pdf["kind"] == 1]
             if len(srow) == 0:
                 return pdf.iloc[0:0]
@@ -455,7 +457,15 @@ class PageRankBlobEngine:
             rows["gathered"].append(1)
             rows["delta_sq"].append(delta_sq)
             rows["rank_sum"].append(float(rank_new.sum()))
-            return pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            if _tr:
+                _t1 = time.perf_counter()
+                _last = getattr(fused_stage, "_last_exit", None)
+                with open(os.path.join(_tr, f"w{os.getpid()}.log"), "a") as fh:
+                    fh.write(f"{part} {_t1 - _t0:.4f} "
+                             f"{(_t0 - _last) if _last else -1:.4f}\n")
+                fused_stage._last_exit = _t1
+            return out
 
         schema = "key int, kind int, blob binary, gathered int, delta_sq double, rank_sum double"
 
