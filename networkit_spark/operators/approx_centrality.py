@@ -170,13 +170,13 @@ def k_path_centrality(
         t = min(t, max_walks)
     spark = graph.spark
     sym = graph.sym().persist()
-    # dense 0..n-1 rank → uniform start-node draw per walk.  (At real
-    # scale reuse the densified ids from graph.assign_dense_ids — this
-    # window is a one-time n-row rank, same cost class.)
-    ranks = graph.vertices().select(
-        F.col("id").alias("start"),
-        (F.row_number().over(Window.orderBy("id")) - 1).alias("rk"),
-    )
+    # dense 0..n-1 rank → uniform start-node draw per walk; assigned by
+    # the distributed per-partition-offset path (n can be web-scale).
+    from networkit_spark.graph import assign_dense_ids
+
+    ranks = assign_dense_ids(
+        graph.vertices().select(F.col("id").alias("start")), key_col="start"
+    ).select("start", F.col("id").alias("rk"))
     walks = (
         spark.range(t)
         .select(

@@ -56,15 +56,16 @@ def subset_sizes(labels: DataFrame) -> DataFrame:
 
 def compact(labels: DataFrame) -> DataFrame:
     """(node, label) with labels densified 0..k-1 in ascending old-label
-    order — ``Partition::compact``."""
-    from pyspark.sql.window import Window
+    order — ``Partition::compact``.  Label count can approach n (near-
+    singleton partitions), so the rank is assigned by the distributed
+    per-partition-offset path, not a single-task global window."""
+    from networkit_spark.graph import assign_dense_ids
 
     distinct = labels.select("label").distinct()
-    remap = distinct.select(
-        "label",
-        (F.row_number().over(Window.orderBy("label")) - 1).cast("long").alias("new_label"),
+    remap = assign_dense_ids(distinct, key_col="label").select(
+        "label", F.col("id").alias("new_label")
     )
-    return labels.join(F.broadcast(remap), "label").select(
+    return labels.join(remap, "label").select(
         "node", F.col("new_label").alias("label")
     )
 

@@ -81,11 +81,15 @@ def normalize_score(scores: DataFrame, lo: float = 0.0, hi: float = 1.0) -> Data
 
 def linearize_score(scores: DataFrame) -> DataFrame:
     """EdgeScoreLinearizer — replace scores by their rank/m quantile
-    (rank by score asc, ties by edge key for determinism)."""
-    w = Window.orderBy("score", "src", "dst")
+    (rank by score asc, ties by edge key for determinism).  The rank is
+    a distributed global_row_number (range partition + prefix offsets),
+    not a single-task ``Window.orderBy`` over all m edges."""
+    from networkit_spark.plans.rank import global_row_number
+
     m = scores.count()
-    return scores.select(
-        "src", "dst", (F.row_number().over(w) / F.lit(float(m))).alias("score")
+    ranked = global_row_number(scores, ["score", "src", "dst"], out_col="_rk")
+    return ranked.select(
+        "src", "dst", ((F.col("_rk") + 1) / F.lit(float(m))).alias("score")
     )
 
 
@@ -687,11 +691,12 @@ def random_node_edge_score(
     raced = ann.withColumn(
         "prio", -F.log(F.greatest(u01, F.lit(1e-18))) / F.col("p")
     )
-    w = Window.orderBy("prio", "src", "dst")
-    # ordering window over the edge list: rank/m — like the reference,
-    # the score is a GLOBAL removal position; for cluster scale prefer
-    # using `prio` directly as the (equivalent, shuffle-free) ordering.
-    return raced.select(
-        "src", "dst",
-        ((F.row_number().over(w) - 1).cast("double") / F.lit(float(m))).alias("score"),
+    # rank/m — like the reference, the score is a GLOBAL removal
+    # position; ranked distributively (range partition + prefix
+    # offsets), never a single-task window over the edge list.
+    from networkit_spark.plans.rank import global_row_number
+
+    ranked = global_row_number(raced, ["prio", "src", "dst"], out_col="_rk")
+    return ranked.select(
+        "src", "dst", (F.col("_rk").cast("double") / F.lit(float(m))).alias("score")
     )

@@ -59,3 +59,27 @@ def test_gather_has_partial_aggregation(spark):
     plan = explain_str(agg)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert wholestage_codegen_spans(agg) >= 0  # helper smoke
+
+
+def test_global_row_number_matches_single_window(spark):
+    """plans.rank.global_row_number ≡ row_number over a bare global
+    window (the single-task plan it replaces), on a multi-column order
+    with ties, at several partition counts."""
+    from pyspark.sql.window import Window
+    from networkit_spark.plans.rank import global_row_number
+
+    rows = [(i % 7, (i * 13) % 5, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "a int, b int, k int")
+    expect = {
+        (r["a"], r["b"], r["k"]): r["rk"]
+        for r in df.select(
+            "a", "b", "k",
+            (F.row_number().over(Window.orderBy("a", "b", "k")) - 1).alias("rk"),
+        ).collect()
+    }
+    for P in (1, 4, 32):
+        got = {
+            (r["a"], r["b"], r["k"]): r["rank"]
+            for r in global_row_number(df, ["a", "b", "k"], num_parts=P).collect()
+        }
+        assert got == expect
