@@ -47,6 +47,7 @@ semi-joins (edge-table dst shuffle per sweep).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, functions as F
@@ -58,6 +59,73 @@ from networkit_spark.linkgraph.superstep import (
     PreparedGraph,
     prepare,
 )
+
+
+def _plp_fused_local(
+    edges: DataFrame, vertices: DataFrame, theta: float, max_iter: int | None
+) -> DataFrame:
+    """Small-store escape hatch (same trick as ``blobstep.run(fused_local)``):
+    when the whole symmetrized edge table fits one task, every sweep is a
+    numpy lexsort + segmented reduce inside ONE single-task stage, instead
+    of one Spark job (gather → heavy → join → delta count) per sweep — at
+    bench scale the 0.4–0.5 s/stage floor is ~90 % of a sweep.  Semantics
+    are the distributed loop's exactly: synchronous sweeps, label-weight
+    sums, heaviest-weight/smallest-label tie-break, stop at
+    ``updated ≤ theta`` or ``max_iter``; pytest asserts label equality
+    with the distributed paths.  Stores above ``$SPARK_GRAFT_FUSED_EDGES``
+    (default 2²³) sym edges keep the distributed sweeps — this path never
+    engages at cluster scale."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        w = pdf["weight"].to_numpy(np.float64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        sidx = np.searchsorted(nodes, src).astype(np.int64)
+        didx = np.searchsorted(nodes, dst).astype(np.int64)
+        lab = nodes.copy()  # init: own id (isolated nodes handled outside)
+        it = 0
+        while True:
+            it += 1
+            lsrc = lab[sidx]
+            order = np.lexsort((lsrc, didx))
+            d_s, l_s, w_s = didx[order], lsrc[order], w[order]
+            new_grp = np.empty(len(d_s), dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+            starts = np.flatnonzero(new_grp)
+            g_d, g_l = d_s[starts], l_s[starts]
+            g_w = np.add.reduceat(w_s, starts)
+            # per-receiver argmax(wsum) with smallest-label tie-break:
+            # sort (dst, -wsum, label) and keep the first row per dst
+            ord2 = np.lexsort((g_l, -g_w, g_d))
+            gd2, gl2 = g_d[ord2], g_l[ord2]
+            first = np.empty(len(gd2), dtype=bool)
+            first[0] = True
+            first[1:] = gd2[1:] != gd2[:-1]
+            new_lab = lab.copy()
+            new_lab[gd2[first]] = gl2[first]
+            updated = int((new_lab != lab).sum())
+            lab = new_lab
+            if updated <= theta or (max_iter is not None and it >= max_iter):
+                break
+        return pd.DataFrame({"node": nodes, "label": lab})
+
+    out = (
+        edges.select(F.lit(0).alias("g"), "src", "dst", "weight")
+        .groupBy("g")
+        .applyInPandas(kernel, "node long, label long")
+    )
+    return (
+        vertices.select(F.col("id").alias("node"), F.col("id").alias("own"))
+        .join(out, "node", "left")
+        .select("node", F.coalesce("label", "own").alias("label"))
+    )
 
 
 def _heaviest(label_weights: DataFrame) -> DataFrame:
@@ -82,14 +150,30 @@ def plp(
     frontier_frac: float = 0.3,
     frontier_max: int = 1_000_000,
     touched_max: int = 2_000_000,
+    fused_local: bool | None = None,
 ) -> DataFrame:
-    """Return ``(node: long, label: long)`` — community assignment."""
+    """Return ``(node: long, label: long)`` — community assignment.
+
+    ``fused_local`` — small-store escape hatch (``None`` = auto by the
+    ``$SPARK_GRAFT_FUSED_EDGES`` threshold, as in ``blobstep``): run all
+    sweeps in one single-task numpy stage.  Only taken for the plain
+    csr call (no checkpointer, no base clustering) — resume/durability
+    and warm starts keep the distributed loop."""
     spark = graph.spark
     ckpt = checkpointer or Checkpointer()
     n = graph.num_nodes()
     if theta is None:
         theta = n / 1e5
     sym = graph.sym() if not graph.directed else graph.to_undirected().sym()
+
+    if impl == "csr" and checkpointer is None and base_clustering is None:
+        edges_src = prepared.edges_p if prepared is not None else sym
+        if fused_local is None:
+            fused_local = edges_src.count() <= int(
+                os.environ.get("SPARK_GRAFT_FUSED_EDGES", str(1 << 23))
+            )
+        if fused_local:
+            return _plp_fused_local(edges_src, graph.vertices(), theta, max_iter)
 
     own_prepared = False
     if impl == "csr" and prepared is None:

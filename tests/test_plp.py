@@ -24,12 +24,28 @@ def _labels(df, n):
     return np.array([rows[i] for i in range(n)])
 
 
-@pytest.mark.parametrize("impl", ["sql", "csr"])
+@pytest.mark.parametrize("impl", ["sql", "csr", "fused"])
 def test_oracle_exact(spark, impl):
     g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
-    got = _labels(plp(g, max_iter=10, impl=impl), 8)
+    kw = {"impl": "csr", "fused_local": True} if impl == "fused" else {
+        "impl": impl, "fused_local": False}
+    got = _labels(plp(g, max_iter=10, **kw), 8)
     want = plp_oracle(8, CLUSTERED, max_iter=10)
     assert np.array_equal(got, want)
+
+
+def test_fused_equals_distributed(spark):
+    """The fused-local single-task path must emit exactly the distributed
+    csr loop's labels (same synchronous rule) — chain + blocks + self-loop
+    + isolated node exercises ties, slow propagation, and the coalesce."""
+    chain = [(8 + i, 9 + i, float(1 + (i % 3))) for i in range(11)]
+    edges = CLUSTERED + chain + [(25, 25, 2.0)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    a = {r["node"]: r["label"]
+         for r in plp(g, max_iter=7, impl="csr", fused_local=True).collect()}
+    b = {r["node"]: r["label"]
+         for r in plp(g, max_iter=7, impl="csr", fused_local=False).collect()}
+    assert a == b
 
 
 def test_two_communities(spark):
@@ -63,7 +79,9 @@ def test_csr_frontier_forced_exact(spark):
     chain = [(i, i + 1, float(1 + (i % 3))) for i in range(11)]
     edges = CLUSTERED + [(8 + a, 8 + b, w) for a, b, w in chain]
     g = EdgeGraph.from_edges(edges_df(spark, edges))
-    got = _labels(plp(g, max_iter=12, impl="csr", frontier_frac=1.0), 20)
+    got = _labels(
+        plp(g, max_iter=12, impl="csr", frontier_frac=1.0, fused_local=False), 20
+    )
     want = plp_oracle(20, edges, max_iter=12)
     assert np.array_equal(got, want)
 
@@ -71,8 +89,8 @@ def test_csr_frontier_forced_exact(spark):
 @pytest.mark.parametrize("impl", ["csr"])
 def test_f7_partition_equivalence(spark, impl):
     g = EdgeGraph.from_edges(edges_df(spark, CLUSTERED))
-    a = _labels(plp(g, max_iter=6, impl=impl, num_parts=2), 8)
-    b = _labels(plp(g, max_iter=6, impl=impl, num_parts=8), 8)
+    a = _labels(plp(g, max_iter=6, impl=impl, num_parts=2, fused_local=False), 8)
+    b = _labels(plp(g, max_iter=6, impl=impl, num_parts=8, fused_local=False), 8)
     assert np.array_equal(a, b)
 
 
