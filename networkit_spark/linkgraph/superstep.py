@@ -350,7 +350,11 @@ def prepare(
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     P = num_parts
 
-    deg = sym_edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = (
+        sym_edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .persist()
+    )
     hubs = deg.where(F.col("outdeg") > hub_cap).select(
         "node", F.ceil(F.col("outdeg") / hub_cap).cast("int").alias("nsalts")
     )
@@ -372,7 +376,25 @@ def prepare(
         .sortWithinPartitions("src", "dst")
         .persist()
     )
-    route = edges_p.select(F.col("src").alias("node"), "part").distinct().persist()
+    # Message route (node → partitions holding its out-edges).  A non-hub's
+    # part is a pure hash of src (nsalts=1 ⇒ the dst term vanishes), so the
+    # route falls out of the degree aggregate already in hand — no second
+    # full pass / distinct shuffle over the edge table.  Only hub sources
+    # (rare by construction) need their parts read off the shuffled edges.
+    nonhub_route = deg.join(F.broadcast(hubs), "node", "left_anti").select(
+        "node", F.pmod(F.xxhash64("node"), F.lit(P)).cast("int").alias("part")
+    )
+    if num_hubs > 0:
+        hub_route = (
+            edges_p.join(
+                F.broadcast(hubs.select(F.col("node").alias("src"))), "src", "leftsemi"
+            )
+            .select(F.col("src").alias("node"), "part")
+            .distinct()
+        )
+        route = nonhub_route.unionByName(hub_route).persist()
+    else:
+        route = nonhub_route.persist()
 
     resolved_blob_dir: str | None = None
     if blob_dir is True:
@@ -393,6 +415,7 @@ def prepare(
     else:
         edges_p.count()  # materialize the one-time edge shuffle
     route.count()
+    deg.unpersist()
     return PreparedGraph(spark, edges_p, route, P, num_hubs, resolved_blob_dir)
 
 
