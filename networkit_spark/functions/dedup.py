@@ -136,11 +136,50 @@ def minhash_lsh_pairs(
     are the exact-dedup path's job (``exact_duplicate_groups``).  The
     identical cap appears in the DuckDB oracle (HAVING COUNT(*) <= cap).
     """
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    banded = sig.withColumn("band", (F.col("h") / band_size).cast("int"))
-    buckets = banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", F.col("h").cast("string"), F.col("minhash").cast("string")))))).alias("bucket")
+    # All num_hashes mins in ONE grouped aggregation (wide columns) —
+    # the long form (explode ×num_hashes then groupBy (id, h)) shuffles
+    # num_hashes·|shingles| rows, this shuffles |shingles| once with
+    # map-side combine on num_hashes min columns.  Bucket strings are
+    # byte-identical to the long form's (same "h:minhash" elements,
+    # same sort_array), so the md5 bucket keys — and the DuckDB oracle —
+    # are unchanged.
+    s0 = shingles(df, text_col, id_col, n)
+    wide = s0.groupBy(id_col).agg(
+        *[
+            F.min(
+                hash64(F.concat_ws(":", F.lit(str(i)), "shingle"))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
+    band_ids = range((num_hashes + band_size - 1) // band_size)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.array(
+                            *[
+                                F.concat_ws(
+                                    ":", F.lit(str(h)), F.col(f"mh{h}").cast("string")
+                                )
+                                for h in range(
+                                    j * band_size,
+                                    min((j + 1) * band_size, num_hashes),
+                                )
+                            ]
+                        )
+                    ),
+                )
+            ).alias("bucket"),
+        )
+        for j in band_ids
+    ]
+    buckets = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket is not None:
         # window count, NOT groupBy+join-back: the aggregate/join form
         # recomputes the whole signature pipeline for both join inputs
