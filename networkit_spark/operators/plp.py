@@ -78,48 +78,66 @@ def _plp_fused_local(
     import numpy as np
     import pandas as pd
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                 "label": pd.Series([], dtype="int64")})
-        src = pdf["src"].to_numpy(np.int64)
-        dst = pdf["dst"].to_numpy(np.int64)
-        w = pdf["weight"].to_numpy(np.float64)
+    def kernel(batches):
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        src = np.concatenate([b["src"].to_numpy(np.int64) for b in pdfs])
+        dst = np.concatenate([b["dst"].to_numpy(np.int64) for b in pdfs])
+        w = np.concatenate([b["weight"].to_numpy(np.float64) for b in pdfs])
+        m = len(src)
         nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
         sidx = np.searchsorted(nodes, src).astype(np.int64)
         didx = np.searchsorted(nodes, dst).astype(np.int64)
-        lab = nodes.copy()  # init: own id (isolated nodes handled outside)
+        # labels as DENSE indices into `nodes` (nodes is sorted, so dense
+        # order == label-value order and the composite key below encodes
+        # the (receiver, label) group in ONE int64 — a single unstable
+        # argsort per sweep instead of two stable lexsorts; n ≤ 2·m ≤ the
+        # fused gate, so didx·n + lab < 2⁴⁸ can't overflow)
+        lab = np.arange(n, dtype=np.int64)  # init: own id
         it = 0
         while True:
             it += 1
-            lsrc = lab[sidx]
-            order = np.lexsort((lsrc, didx))
-            d_s, l_s, w_s = didx[order], lsrc[order], w[order]
-            new_grp = np.empty(len(d_s), dtype=bool)
+            key = didx * n + lab[sidx]
+            order = np.argsort(key, kind="quicksort")
+            k_s, w_s = key[order], w[order]
+            new_grp = np.empty(m, dtype=bool)
             new_grp[0] = True
-            new_grp[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+            new_grp[1:] = k_s[1:] != k_s[:-1]
             starts = np.flatnonzero(new_grp)
-            g_d, g_l = d_s[starts], l_s[starts]
+            g_key = k_s[starts]
             g_w = np.add.reduceat(w_s, starts)
-            # per-receiver argmax(wsum) with smallest-label tie-break:
-            # sort (dst, -wsum, label) and keep the first row per dst
-            ord2 = np.lexsort((g_l, -g_w, g_d))
-            gd2, gl2 = g_d[ord2], g_l[ord2]
-            first = np.empty(len(gd2), dtype=bool)
-            first[0] = True
-            first[1:] = gd2[1:] != gd2[:-1]
+            g_d, g_l = g_key // n, g_key % n
+            # per-receiver argmax(wsum), smallest-label tie-break — all
+            # linear: per-dst max via reduceat, winner = FIRST group
+            # hitting it (groups are label-ascending within dst)
+            dnew = np.empty(len(g_d), dtype=bool)
+            dnew[0] = True
+            dnew[1:] = g_d[1:] != g_d[:-1]
+            dstarts = np.flatnonzero(dnew)
+            dmax = np.maximum.reduceat(g_w, dstarts)
+            counts = np.diff(np.append(dstarts, len(g_d)))
+            widx = np.flatnonzero(g_w == np.repeat(dmax, counts))
+            wd = g_d[widx]
+            fmask = np.empty(len(wd), dtype=bool)
+            fmask[0] = True
+            fmask[1:] = wd[1:] != wd[:-1]
+            winners = widx[fmask]
             new_lab = lab.copy()
-            new_lab[gd2[first]] = gl2[first]
+            new_lab[g_d[winners]] = g_l[winners]
             updated = int((new_lab != lab).sum())
             lab = new_lab
             if updated <= theta or (max_iter is not None and it >= max_iter):
                 break
-        return pd.DataFrame({"node": nodes, "label": lab})
+        yield pd.DataFrame({"node": nodes, "label": nodes[lab]})
 
+    # coalesce, not a groupBy exchange: the one task reads the persisted
+    # partitions in place instead of a full shuffle write + fetch
     out = (
-        edges.select(F.lit(0).alias("g"), "src", "dst", "weight")
-        .groupBy("g")
-        .applyInPandas(kernel, "node long, label long")
+        edges.select("src", "dst", "weight")
+        .coalesce(1)
+        .mapInPandas(kernel, "node long, label long")
     )
     return (
         vertices.select(F.col("id").alias("node"), F.col("id").alias("own"))
