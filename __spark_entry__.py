@@ -315,6 +315,9 @@ def _q_linkpred(spark, sf_dir):
     from networkit_spark.operators.linkpred import link_prediction_scores
 
     g = tpch_link_graph(spark, sf_dir)
+    # the scorer needs the edge table twice (num_nodes + the wedge/fused
+    # pass); persist so the orders⋈lineitem build runs once
+    g.edges.persist()
     s = link_prediction_scores(g, only_missing=True).select(
         "u", "v", "common_neighbors",
         F.round("jaccard", 6).alias("jaccard"),

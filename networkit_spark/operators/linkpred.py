@@ -18,12 +18,115 @@ filter on score; ``PredictionsSorter`` = orderBy (score desc, pair asc).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import EdgeGraph
 
+_SCORES_SCHEMA = (
+    "u long, v long, common_neighbors long, jaccard double, adamic_adar double, "
+    "resource_alloc double, pref_attachment long, total_neighbors long, "
+    "u_degree long, v_degree long, adjusted_rand double"
+)
 
-def link_prediction_scores(graph: EdgeGraph, only_missing: bool = True) -> DataFrame:
+
+def _linkpred_fused_blocks(e: DataFrame, n_total: int, only_missing: bool) -> DataFrame:
+    """Small-graph escape hatch (same family as ``plp(fused_local)`` /
+    ``blobstep.run(fused_local)``, but PARALLEL): the wedge join
+    materializes Σ_z deg(z)² rows — tens of millions even at bench scale
+    — but when the node set fits a dense matrix, every index is three
+    matmuls: CN = A·A, AA = (A·diag(1/ln d))·A, RA = (A·diag(1/d))·A.
+    Spark pins python workers to one BLAS thread (OMP_NUM_THREADS=1), so
+    instead of one fat task the SCORE-MATRIX ROW BLOCKS fan out: the edge
+    array is broadcast (small by the fused gate), each task builds A once
+    and computes its `A[block,:] @ A` slice — embarrassingly parallel,
+    and the same row-block partitioning a dense-scores engine would use
+    on a cluster.  float64 throughout so the wedge sums agree with the
+    distributed aggregation (pytest asserts equality at 1e-9).  Graphs
+    above ``$SPARK_GRAFT_FUSED_NODES`` (default 4096) nodes keep the
+    distributed wedge join — this path never engages at raw-web scale."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], _SCORES_SCHEMA)
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    bc = spark.sparkContext.broadcast(
+        (np.searchsorted(nodes, src), np.searchsorted(nodes, dst), nodes)
+    )
+    nb = max(1, min(spark.sparkContext.defaultParallelism * 2, n))
+    bounds = [(int(lo), int(hi)) for lo, hi in zip(
+        np.linspace(0, n, nb + 1)[:-1], np.linspace(0, n, nb + 1)[1:]
+    ) if hi > lo]
+
+    def kernel(batches):
+        si, di, nds = bc.value
+        A = np.zeros((n, n), dtype=np.float64)
+        A[si, di] = 1.0
+        A[di, si] = 1.0
+        deg = A.sum(axis=1)
+        # z contributes a wedge only with deg ≥ 2, so zeroing the weights
+        # below that never drops a term — it just dodges 1/ln(1).
+        f_ln = np.where(deg >= 2.0, 1.0 / np.log(np.maximum(deg, 2.0)), 0.0)
+        f_inv = np.where(deg >= 2.0, 1.0 / np.maximum(deg, 1.0), 0.0)
+        col = np.arange(n, dtype=np.int64)
+        for b in batches:
+            for lo, hi in zip(b["lo"].to_numpy(), b["hi"].to_numpy()):
+                Ab = A[lo:hi]
+                CN = Ab @ A
+                AA = (Ab * f_ln) @ A
+                RA = (Ab * f_inv) @ A
+                # strict upper triangle of the GLOBAL matrix: v > u
+                cand = (CN > 0.0) & (col[None, :] > np.arange(lo, hi)[:, None])
+                if only_missing:
+                    # exclude exactly the rows of `e` (u < v orientation),
+                    # as the distributed anti-join does
+                    blk = (si >= lo) & (si < hi)
+                    cand[si[blk] - lo, di[blk]] = False
+                    blk = (di >= lo) & (di < hi)
+                    cand[di[blk] - lo, si[blk]] = False
+                bi, vi = np.nonzero(cand)
+                ui = bi + lo
+                cn = CN[bi, vi]
+                ud, vd = deg[ui], deg[vi]
+                un = ud + vd - cn
+                a_, b_, c_ = cn, ud - cn, vd - cn
+                d_ = float(n_total) - un
+                den = (
+                    a_ * b_ + a_ * c_ + 2.0 * a_ * d_
+                    + b_ * b_ + b_ * d_ + c_ * c_ + c_ * d_
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ari = np.where(den != 0.0, 2.0 * (a_ * d_ - b_ * c_) / den, 0.0)
+                yield pd.DataFrame(
+                    {
+                        "u": nds[ui],
+                        "v": nds[vi],
+                        "common_neighbors": cn.astype(np.int64),
+                        "jaccard": cn / un,
+                        "adamic_adar": AA[bi, vi],
+                        "resource_alloc": RA[bi, vi],
+                        "pref_attachment": (ud * vd).astype(np.int64),
+                        "total_neighbors": un.astype(np.int64),
+                        "u_degree": ud.astype(np.int64),
+                        "v_degree": vd.astype(np.int64),
+                        "adjusted_rand": ari,
+                    }
+                )
+
+    blocks = spark.createDataFrame(bounds, "lo long, hi long").repartition(len(bounds))
+    return blocks.mapInPandas(kernel, _SCORES_SCHEMA)
+
+
+def link_prediction_scores(
+    graph: EdgeGraph, only_missing: bool = True, fused_local: bool | None = None
+) -> DataFrame:
     """(u, v, common_neighbors, jaccard, adamic_adar, resource_alloc,
     pref_attachment, total_neighbors, u_degree, v_degree, adjusted_rand)
     for all distance-2 pairs (u < v).
@@ -38,12 +141,23 @@ def link_prediction_scores(graph: EdgeGraph, only_missing: bool = True) -> DataF
     Documented deviation: the reference's ``uDifference``/``vDifference``
     are computed with ``std::set_union`` (``:29-32`` — so its b and c
     both equal the union size, an apparent copy-paste slip); we compute
-    the set DIFFERENCES the surrounding formula calls for."""
+    the set DIFFERENCES the surrounding formula calls for.
+
+    ``fused_local`` — small-graph escape hatch (``None`` = auto by the
+    ``$SPARK_GRAFT_FUSED_NODES`` threshold): dense-matmul all indices in
+    one task instead of materializing the Σ deg² wedge join."""
     e = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
+    n = graph.num_nodes()
+    if fused_local is None:
+        fused_local = not graph.directed and n <= int(
+            os.environ.get("SPARK_GRAFT_FUSED_NODES", "4096")
+        )
+    if fused_local:
+        return _linkpred_fused_blocks(e, n, only_missing)
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     # wedges through z: (u - z - v), u < v
@@ -59,7 +173,6 @@ def link_prediction_scores(graph: EdgeGraph, only_missing: bool = True) -> DataF
         F.sum(1.0 / F.log("zdeg")).alias("adamic_adar"),
         F.sum(1.0 / F.col("zdeg")).alias("resource_alloc"),
     )
-    n = graph.num_nodes()
     a_ = F.col("common_neighbors").cast("double")
     b_ = (F.col("udeg") - F.col("common_neighbors")).cast("double")
     c_ = (F.col("vdeg") - F.col("common_neighbors")).cast("double")

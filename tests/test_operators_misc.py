@@ -907,3 +907,27 @@ def test_diameter_exact_and_effective(spark):
         assert got == pytest.approx(want), ratio
     with pytest.raises(ValueError):
         effective_diameter(g)  # disconnected
+
+
+def test_linkpred_fused_blocks_equals_distributed(spark):
+    # deterministic "random" graph: hub skew + ring, so the fused
+    # row-block matmul path and the distributed wedge join see wedges
+    # through high- and low-degree carriers alike
+    edges = [(i, (i * 7 + 3) % 60) for i in range(60)]
+    edges += [(i, i + 1) for i in range(59)]
+    edges += [(0, j) for j in range(2, 25)]  # hub
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    cols = ["u", "v", "common_neighbors", "jaccard", "adamic_adar",
+            "resource_alloc", "pref_attachment", "total_neighbors",
+            "u_degree", "v_degree", "adjusted_rand"]
+    a = sorted(link_prediction_scores(g, fused_local=True).collect(),
+               key=lambda r: (r["u"], r["v"]))
+    b = sorted(link_prediction_scores(g, fused_local=False).collect(),
+               key=lambda r: (r["u"], r["v"]))
+    assert len(a) == len(b) and len(a) > 100
+    for ra, rb in zip(a, b):
+        for c in cols:
+            assert ra[c] == pytest.approx(rb[c], abs=1e-9), (c, ra, rb)
+    # only_missing=False keeps existing edges too
+    full = link_prediction_scores(g, only_missing=False, fused_local=True)
+    assert full.count() > len(a)
