@@ -191,6 +191,10 @@ def _q_prefix_jaccard(spark, sf_dir):
     from networkit_spark.operators.sparsification import prefix_jaccard_score
 
     g = tpch_link_graph(spark, sf_dir)
+    # the scorer reads the edge table three times (fused-gate count, the
+    # edge list, the ranking attribute); persist so the orders⋈lineitem
+    # build runs once
+    g.edges.persist()
     att = g.edges.select("src", "dst", F.col("weight").alias("score"))
     return prefix_jaccard_score(g, att).select(
         "src", "dst", F.round("score", 6).alias("score")
@@ -830,12 +834,21 @@ FROM sym GROUP BY u
 """,
         "graph_components": f"""
 WITH RECURSIVE {_GRAPH_CTES},
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node WHERE r.label < s.v
+symp AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+-- bounded synchronous min-label propagation: exact once rounds >= the
+-- eccentricity of each component's min node (this tripartite graph's
+-- diameter is ~6; 40 rounds is visibly converged at sf0.001/0.01/0.1).
+-- Far cheaper than the transitive-closure CTE, whose UNION accumulates
+-- O(n^2) decreasing-label pairs.
+lp(iter, node, label) AS (
+  SELECT 0, node, node FROM nodes
+  UNION ALL
+  SELECT l.iter + 1, sp.v, MIN(l.label)
+  FROM lp l JOIN symp sp ON sp.u = l.node
+  WHERE l.iter < 40
+  GROUP BY l.iter + 1, sp.v
 )
-SELECT node, MIN(label) AS label FROM reach GROUP BY node
+SELECT node, MIN(label) AS label FROM lp WHERE iter = 40 GROUP BY node
 """,
         "graph_pagerank": f"""
 WITH RECURSIVE {_GRAPH_CTES},
@@ -1383,108 +1396,112 @@ cov AS (
 expd AS (SELECT SUM(cvol * cvol) / ((SELECT m2 FROM twom) * (SELECT m2 FROM twom)) AS expected FROM cvol)
 SELECT ROUND((SELECT coverage FROM cov) - (SELECT expected FROM expd), 6) AS modularity
 """,
+        # one hoisted WITH for all six measures: the graph/label CTEs are
+        # MATERIALIZED so DuckDB builds the orders⋈lineitem graph ONCE
+        # (the per-measure form rebuilt it six times), and the
+        # fragmentation component labels use the same bounded
+        # min-propagation as graph_components instead of the O(n²)
+        # transitive-closure CTE
         "graph_quality_suite": f"""
-SELECT 'hub_dominance' AS measure, label, value FROM (
-WITH {_GRAPH_CTES},
-{_KIND_SQL},
-ideg AS (
-  SELECT la.label AS label, s.u AS node, COUNT(*) AS ideg
-  FROM sym s JOIN lab la ON s.u = la.node JOIN lab lb ON s.v = lb.node
-  WHERE la.label = lb.label GROUP BY la.label, s.u
+WITH RECURSIVE
+edges AS MATERIALIZED ({_EDGES}),
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v, weight AS w FROM edges
+  UNION ALL
+  SELECT dst, src, weight FROM edges WHERE src <> dst
 ),
-mx AS (SELECT label, MAX(ideg) AS mideg FROM ideg GROUP BY label)
-SELECT z.label,
-       ROUND(CASE WHEN z.sz <= 1 THEN 1.0
-                  ELSE COALESCE(m.mideg, 0) * 1.0 / (z.sz - 1) END, 6) AS value
-FROM sizes z LEFT JOIN mx m ON z.label = m.label
+nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+lab AS MATERIALIZED (
+  SELECT node,
+         CAST(CASE WHEN node < 1000000 THEN 0
+                   WHEN node < 2000000 THEN 1
+                   ELSE 2 END AS BIGINT) AS label
+  FROM nodes),
+sizes AS MATERIALIZED (SELECT label, COUNT(*) AS sz FROM lab GROUP BY label),
+symlab AS MATERIALIZED (
+  SELECT s.u, s.v, s.w, la.label AS lu, lb.label AS lv
+  FROM sym s JOIN lab la ON s.u = la.node JOIN lab lb ON s.v = lb.node
+),
+ev AS MATERIALIZED (
+  SELECT la.label AS l1, lb.label AS l2, e.weight AS w
+  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
+),
+cut AS MATERIALIZED (
+  SELECT label, SUM(w) AS cut
+  FROM (SELECT l1 AS label, w FROM ev WHERE l1 <> l2
+        UNION ALL SELECT l2, w FROM ev WHERE l1 <> l2)
+  GROUP BY label),
+symp AS (SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes),
+lp(iter, node, clabel) AS (
+  SELECT 0, node, node FROM nodes
+  UNION ALL
+  SELECT l.iter + 1, sp.v, MIN(l.clabel)
+  FROM lp l JOIN symp sp ON sp.u = l.node
+  WHERE l.iter < 40
+  GROUP BY l.iter + 1, sp.v
+),
+comp AS (SELECT node, MIN(clabel) AS comp FROM lp WHERE iter = 40 GROUP BY node)
+SELECT 'hub_dominance' AS measure, label, value FROM (
+  WITH ideg AS (
+    SELECT lu AS label, u AS node, COUNT(*) AS ideg
+    FROM symlab WHERE lu = lv GROUP BY lu, u
+  ),
+  mx AS (SELECT label, MAX(ideg) AS mideg FROM ideg GROUP BY label)
+  SELECT z.label,
+         ROUND(CASE WHEN z.sz <= 1 THEN 1.0
+                    ELSE COALESCE(m.mideg, 0) * 1.0 / (z.sz - 1) END, 6) AS value
+  FROM sizes z LEFT JOIN mx m ON z.label = m.label
 )
 UNION ALL
 SELECT 'intra_density' AS measure, label, value FROM (
-WITH {_GRAPH_CTES},
-{_KIND_SQL},
-intra AS (
-  SELECT la.label AS label, COUNT(*) AS ie
-  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
-  WHERE la.label = lb.label GROUP BY la.label
-)
-SELECT z.label,
-       ROUND(CASE WHEN z.sz <= 1 THEN 1.0
-                  ELSE COALESCE(i.ie, 0) / (z.sz * (z.sz - 1) / 2.0) END, 6) AS value
-FROM sizes z LEFT JOIN intra i ON z.label = i.label
+  WITH intra AS (SELECT l1 AS label, COUNT(*) AS ie FROM ev WHERE l1 = l2 GROUP BY l1)
+  SELECT z.label,
+         ROUND(CASE WHEN z.sz <= 1 THEN 1.0
+                    ELSE COALESCE(i.ie, 0) / (z.sz * (z.sz - 1) / 2.0) END, 6) AS value
+  FROM sizes z LEFT JOIN intra i ON z.label = i.label
 )
 UNION ALL
 SELECT 'iso_conductance' AS measure, label, value FROM (
-WITH {_GRAPH_CTES},
-{_KIND_SQL},
-ev AS (
-  SELECT la.label AS l1, lb.label AS l2, e.weight AS w
-  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
-),
-vol AS (SELECT label, SUM(w) AS vol
-        FROM (SELECT l1 AS label, w FROM ev UNION ALL SELECT l2, w FROM ev)
-        GROUP BY label),
-tot AS (SELECT SUM(vol) AS t FROM vol),
-cut AS (SELECT label, SUM(w) AS cut
-        FROM (SELECT l1 AS label, w FROM ev WHERE l1 <> l2
-              UNION ALL SELECT l2, w FROM ev WHERE l1 <> l2)
-        GROUP BY label)
-SELECT z.label,
-       ROUND(CASE WHEN COALESCE(LEAST(v.vol, (SELECT t FROM tot) - v.vol), 0) <= 0 THEN 0.0
-                  ELSE COALESCE(c.cut, 0) / LEAST(v.vol, (SELECT t FROM tot) - v.vol) END, 6) AS value
-FROM sizes z LEFT JOIN vol v ON z.label = v.label LEFT JOIN cut c ON z.label = c.label
+  WITH vol AS (SELECT label, SUM(w) AS vol
+               FROM (SELECT l1 AS label, w FROM ev UNION ALL SELECT l2, w FROM ev)
+               GROUP BY label),
+  tot AS (SELECT SUM(vol) AS t FROM vol)
+  SELECT z.label,
+         ROUND(CASE WHEN COALESCE(LEAST(v.vol, (SELECT t FROM tot) - v.vol), 0) <= 0 THEN 0.0
+                    ELSE COALESCE(c.cut, 0) / LEAST(v.vol, (SELECT t FROM tot) - v.vol) END, 6) AS value
+  FROM sizes z LEFT JOIN vol v ON z.label = v.label LEFT JOIN cut c ON z.label = c.label
 )
 UNION ALL
 SELECT 'iso_expansion' AS measure, label, value FROM (
-WITH {_GRAPH_CTES},
-{_KIND_SQL},
-nn AS (SELECT COUNT(*) AS n FROM lab),
-ev AS (
-  SELECT la.label AS l1, lb.label AS l2, e.weight AS w
-  FROM edges e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
-),
-cut AS (SELECT label, SUM(w) AS cut
-        FROM (SELECT l1 AS label, w FROM ev WHERE l1 <> l2
-              UNION ALL SELECT l2, w FROM ev WHERE l1 <> l2)
-        GROUP BY label)
-SELECT z.label,
-       ROUND(COALESCE(c.cut, 0) / LEAST(z.sz, (SELECT n FROM nn) - z.sz), 6) AS value
-FROM sizes z LEFT JOIN cut c ON z.label = c.label
+  WITH nn AS (SELECT COUNT(*) AS n FROM lab)
+  SELECT z.label,
+         ROUND(COALESCE(c.cut, 0) / LEAST(z.sz, (SELECT n FROM nn) - z.sz), 6) AS value
+  FROM sizes z LEFT JOIN cut c ON z.label = c.label
 )
 UNION ALL
 SELECT 'fragmentation' AS measure, label, value FROM (
-WITH RECURSIVE {_GRAPH_CTES},
-{_KIND_SQL},
-reach(node, clabel) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT s.v, r.clabel FROM reach r JOIN sym s ON s.u = r.node WHERE r.clabel < s.v
-),
-comp AS (SELECT node, MIN(clabel) AS comp FROM reach GROUP BY node),
-pieces AS (
-  SELECT l.label, c.comp, COUNT(*) AS piece
-  FROM lab l JOIN comp c ON l.node = c.node GROUP BY l.label, c.comp
-),
-mx AS (SELECT label, MAX(piece) AS mp FROM pieces GROUP BY label)
-SELECT z.label, ROUND(1.0 - COALESCE(m.mp, 0) * 1.0 / z.sz, 6) AS value
-FROM sizes z LEFT JOIN mx m ON z.label = m.label
+  WITH pieces AS (
+    SELECT l.label, c.comp, COUNT(*) AS piece
+    FROM lab l JOIN comp c ON l.node = c.node GROUP BY l.label, c.comp
+  ),
+  mx AS (SELECT label, MAX(piece) AS mp FROM pieces GROUP BY label)
+  SELECT z.label, ROUND(1.0 - COALESCE(m.mp, 0) * 1.0 / z.sz, 6) AS value
+  FROM sizes z LEFT JOIN mx m ON z.label = m.label
 )
 UNION ALL
 SELECT 'stable_nodes' AS measure, label, value FROM (
-WITH {_GRAPH_CTES},
-{_KIND_SQL},
-lw AS (
-  SELECT s.u AS node, la.label AS own, lb.label AS nl, SUM(s.w) AS w
-  FROM sym s JOIN lab la ON s.u = la.node JOIN lab lb ON s.v = lb.node
-  GROUP BY s.u, la.label, lb.label
-),
-pn AS (
-  SELECT node, own, SUM(CASE WHEN nl = own THEN w ELSE 0 END) AS own_w,
-         MAX(CASE WHEN nl <> own THEN w END) AS mo
-  FROM lw GROUP BY node, own
-),
-st AS (SELECT node, CASE WHEN own_w > 0 AND (mo IS NULL OR mo < own_w) THEN 1 ELSE 0 END AS stable FROM pn)
-SELECT l.label, ROUND(AVG(COALESCE(s.stable, 1)), 6) AS value
-FROM lab l LEFT JOIN st s ON l.node = s.node GROUP BY l.label
+  WITH lw AS (
+    SELECT u AS node, lu AS own, lv AS nl, SUM(w) AS w
+    FROM symlab GROUP BY u, lu, lv
+  ),
+  pn AS (
+    SELECT node, own, SUM(CASE WHEN nl = own THEN w ELSE 0 END) AS own_w,
+           MAX(CASE WHEN nl <> own THEN w END) AS mo
+    FROM lw GROUP BY node, own
+  ),
+  st AS (SELECT node, CASE WHEN own_w > 0 AND (mo IS NULL OR mo < own_w) THEN 1 ELSE 0 END AS stable FROM pn)
+  SELECT l.label, ROUND(AVG(COALESCE(s.stable, 1)), 6) AS value
+  FROM lab l LEFT JOIN st s ON l.node = s.node GROUP BY l.label
 )
 """,
         "graph_bfs": f"""

@@ -459,7 +459,144 @@ def edge_score_as_weight(
     return EdgeGraph(e, graph.directed, True)
 
 
-def prefix_jaccard_score(graph: EdgeGraph, attribute: DataFrame) -> DataFrame:
+def _prefix_jaccard_fused_blocks(
+    e: DataFrame, attribute: DataFrame
+) -> DataFrame:
+    """Small-graph escape hatch (same family as the linkpred row-block
+    matmul path): the distributed plan shuffles O(Σ_e deg(u)+deg(v))
+    event rows through a groupBy + per-edge rank window — ~30 M rows at
+    bench scale.  When the ranked adjacency fits a broadcast, the edges
+    fan out in index blocks and each task merges its edges' ranked
+    neighbor lists fully vectorized (two argsorts per block, segmented
+    cumsums, reduceat maxima) — no event shuffle at all.  Semantics are
+    the distributed plan's exactly (competition ranks, partner
+    exclusion, per-(edge, rank) aggregation BEFORE the Jaccard is
+    evaluated); pytest asserts score equality."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    e_pdf = e.toPandas()
+    if len(e_pdf) == 0:
+        return spark.createDataFrame([], "src long, dst long, score double")
+    att = attribute.select("src", "dst", "score").toPandas()
+    asrc = np.concatenate([att["src"].to_numpy(np.int64), att["dst"].to_numpy(np.int64)])
+    adst = np.concatenate([att["dst"].to_numpy(np.int64), att["src"].to_numpy(np.int64)])
+    asc = np.concatenate([att["score"].to_numpy(np.float64)] * 2)
+    eu = e_pdf["src"].to_numpy(np.int64)
+    ev = e_pdf["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([asrc, adst, eu, ev]))
+    n = len(nodes)
+    s_i = np.searchsorted(nodes, asrc)
+    d_i = np.searchsorted(nodes, adst)
+    # competition ranks per node, score desc (ties share the rank) —
+    # vectorized: sort by (node, -score), a rank restarts wherever the
+    # node or the score changes, and ties inherit the last restart
+    order = np.lexsort((-asc, s_i))
+    s_o, d_o, sc_o = s_i[order], d_i[order], asc[order]
+    grp_new = np.empty(len(s_o), dtype=bool)
+    grp_new[0] = True
+    grp_new[1:] = s_o[1:] != s_o[:-1]
+    gstart = np.maximum.accumulate(np.where(grp_new, np.arange(len(s_o)), 0))
+    rank_new = grp_new.copy()
+    rank_new[1:] |= sc_o[1:] != sc_o[:-1]
+    last_new = np.maximum.accumulate(np.where(rank_new, np.arange(len(s_o)), -1))
+    rnk = (last_new - gstart + 1).astype(np.int64)
+    # CSR over the rank-ordered adjacency
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, s_o + 1, 1)
+    indptr = np.cumsum(indptr)
+    bc = spark.sparkContext.broadcast(
+        (indptr, d_o, rnk, np.searchsorted(nodes, eu), np.searchsorted(nodes, ev), nodes)
+    )
+    m = len(eu)
+    nb = max(1, min(spark.sparkContext.defaultParallelism * 2, m))
+    cuts = np.linspace(0, m, nb + 1).astype(np.int64)
+    bounds = [(int(lo), int(hi)) for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
+
+    def _ragged(indptr_, keys):
+        """(row_of_slice, flat_index) for the concatenated CSR slices of
+        ``keys`` — the standard repeat + offset gather."""
+        starts, ends = indptr_[keys], indptr_[keys + 1]
+        cnt = ends - starts
+        total = int(cnt.sum())
+        rows = np.repeat(np.arange(len(keys), dtype=np.int64), cnt)
+        offs = np.cumsum(cnt) - cnt
+        flat = np.repeat(starts, cnt) + (np.arange(total, dtype=np.int64) - np.repeat(offs, cnt))
+        return rows, flat
+
+    def kernel(batches):
+        indptr_, nbr_, rnk_, eui, evi, nds = bc.value
+        for b in batches:
+            for lo, hi in zip(b["lo"].to_numpy(), b["hi"].to_numpy()):
+                u, v = eui[lo:hi], evi[lo:hi]
+                ne = len(u)
+                ur, uf = _ragged(indptr_, u)
+                keep = nbr_[uf] != v[ur]
+                ur, uf = ur[keep], uf[keep]
+                vr, vf = _ragged(indptr_, v)
+                keep = nbr_[vf] != u[vr]
+                vr, vf = vr[keep], vf[keep]
+                # common neighbors: one argsort of both sides on
+                # (edge, neighbor); equal adjacent keys = a common pair
+                side_eid = np.concatenate([ur, vr])
+                side_nbr = np.concatenate([nbr_[uf], nbr_[vf]])
+                side_rnk = np.concatenate([rnk_[uf], rnk_[vf]])
+                key = side_eid * np.int64(len(nds)) + side_nbr
+                o = np.argsort(key, kind="stable")
+                k_s, r_s = key[o], side_rnk[o]
+                dup = np.zeros(len(k_s), dtype=bool)
+                dup[1:] = k_s[1:] == k_s[:-1]
+                c_eid = (k_s[dup] // len(nds))
+                c_rnk = np.maximum(r_s[dup], r_s[np.flatnonzero(dup) - 1])
+                # events (eid, r, du, dv, dc), aggregated per (eid, r)
+                # BEFORE the Jaccard is evaluated (ties must land at once)
+                ev_eid = np.concatenate([ur, vr, c_eid])
+                ev_r = np.concatenate([rnk_[uf], rnk_[vf], c_rnk])
+                z_u = np.zeros(len(c_eid), dtype=np.int64)
+                ev_du = np.concatenate([np.ones(len(ur), np.int64), np.zeros(len(vr), np.int64), z_u])
+                ev_dv = np.concatenate([np.zeros(len(ur), np.int64), np.ones(len(vr), np.int64), z_u])
+                ev_dc = np.concatenate([np.zeros(len(ur) + len(vr), np.int64), np.ones(len(c_eid), np.int64)])
+                ekey = ev_eid * np.int64(len(nds) + 1) + ev_r
+                o2 = np.argsort(ekey, kind="quicksort")
+                ekey = ekey[o2]
+                gnew = np.empty(len(ekey), dtype=bool)
+                if len(ekey):
+                    gnew[0] = True
+                    gnew[1:] = ekey[1:] != ekey[:-1]
+                gs = np.flatnonzero(gnew)
+                g_eid = ekey[gs] // np.int64(len(nds) + 1)
+                du = np.add.reduceat(ev_du[o2], gs) if len(gs) else np.empty(0, np.int64)
+                dv = np.add.reduceat(ev_dv[o2], gs) if len(gs) else np.empty(0, np.int64)
+                dc = np.add.reduceat(ev_dc[o2], gs) if len(gs) else np.empty(0, np.int64)
+                # segmented cumsum within each edge
+                enew = np.empty(len(g_eid), dtype=bool)
+                if len(g_eid):
+                    enew[0] = True
+                    enew[1:] = g_eid[1:] != g_eid[:-1]
+                es = np.flatnonzero(enew)
+                cu, cv, cc = np.cumsum(du), np.cumsum(dv), np.cumsum(dc)
+                base_u = np.repeat(cu[es] - du[es], np.diff(np.append(es, len(g_eid))))
+                base_v = np.repeat(cv[es] - dv[es], np.diff(np.append(es, len(g_eid))))
+                base_c = np.repeat(cc[es] - dc[es], np.diff(np.append(es, len(g_eid))))
+                un_, vn_, cn_ = cu - base_u, cv - base_v, cc - base_c
+                den = (un_ + vn_ - cn_).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    j = np.where(den > 0, cn_ / den, 0.0)
+                score = np.zeros(ne, dtype=np.float64)
+                if len(es):
+                    score[g_eid[es]] = np.maximum.reduceat(j, es)
+                yield pd.DataFrame(
+                    {"src": nds[u], "dst": nds[v], "score": score}
+                )
+
+    blocks = spark.createDataFrame(bounds, "lo long, hi long").repartition(len(bounds))
+    return blocks.mapInPandas(kernel, "src long, dst long, score double")
+
+
+def prefix_jaccard_score(
+    graph: EdgeGraph, attribute: DataFrame, fused_local: bool | None = None
+) -> DataFrame:
     """PrefixJaccardScore (``cpp/edgescores/PrefixJaccardScore.cpp:18-144``):
     per edge (u,v), the MAX over rank prefixes r of the Jaccard
     similarity between u's and v's top-r neighbors, neighbors ranked by
@@ -474,6 +611,14 @@ def prefix_jaccard_score(graph: EdgeGraph, attribute: DataFrame) -> DataFrame:
     e = graph.edges.where(F.col("src") != F.col("dst")).select(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     ).distinct()
+    if fused_local is None:
+        import os
+
+        fused_local = graph.num_edges() <= int(
+            os.environ.get("SPARK_GRAFT_FUSED_EDGES", str(1 << 23))
+        ) // 4
+    if fused_local:
+        return _prefix_jaccard_fused_blocks(e, attribute)
     att_sym = attribute.select("src", "dst", "score").unionByName(
         attribute.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "score"

@@ -59,8 +59,9 @@ def main():
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            print(f"ROWS-ONLY {name}: {len(srows)} rows  ({t_spark:.1f}s)")
             ok += 1
             continue
         try:
@@ -86,7 +87,11 @@ def main():
             print(f"FAIL {name}: value mismatch, first diffs {diffs}")
             fail += 1
             continue
-        print(f"OK   {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+        print(
+            f"OK   {name}: {len(srows)} rows  "
+            f"({time.time()-t0:.1f}s: spark {t_spark:.1f} / "
+            f"oracle {time.time()-t0-t_spark:.1f})"
+        )
         ok += 1
     print(f"\n{ok} ok, {fail} fail")
     spark.stop()
