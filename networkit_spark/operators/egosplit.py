@@ -181,7 +181,9 @@ def ego_splitting(
     )
     persona_graph = EdgeGraph(pe, directed=False, weighted=True)
 
-    algo = global_algo or (lambda g: plp(g, max_iter=max_iter, impl="sql"))
+    # csr: the flagship PLP path — auto-fuses all sweeps into one numpy
+    # stage for small persona graphs, frontier semi-joins at scale
+    algo = global_algo or (lambda g: plp(g, max_iter=max_iter, impl="csr"))
     plabels = algo(persona_graph)
 
     cover = (
