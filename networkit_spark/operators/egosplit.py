@@ -69,44 +69,10 @@ def _ego_components(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"ego": ego, "member": nodes, "rep": reps})
 
 
-def ego_splitting(
-    graph: EdgeGraph,
-    global_algo=None,
-    max_iter: int = 16,
-    min_community_size: int = 5,
-    cleanup: bool = False,
-    max_ego_degree: int | None = 2000,
-) -> DataFrame:
-    """Returns the Cover: (node, label), possibly multiple rows per node.
-
-    Communities smaller than ``min_community_size`` are discarded, matching
-    the reference's post-pass (``EgoSplitting.cpp:804-812``, min_size=5) —
-    singleton personas otherwise dominate the cover on sparse graphs.
-
-    ``max_ego_degree`` bounds the per-ego work: the ego-net wedge join is
-    O(deg²) and each ego's union-find is ONE ``applyInPandas`` task, so a
-    degree-10⁵ hub would put ~10¹⁰ candidate wedges in a single task.
-    Egos above the cap have their ego-net built on a DETERMINISTIC sample
-    of ``max_ego_degree`` neighbors (xxhash64(ego, nbr) rank — stable at
-    any parallelism); sampled-out neighbors still receive singleton
-    personas, so the persona-edge mapping stays total and the cover still
-    covers every node.  Recall bound: within a hub's ego-net, a cluster
-    keeps ≥ cap/deg of its members in expectation — hub ego-nets degrade
-    gracefully to coarser splits instead of blowing up one task.  The
-    reference has the same O(deg²) asymptotics but on shared memory
-    (``EgoSplitting.cpp`` runs ego-nets serially per thread).
-
-    ``cleanup=True`` pipes the cover through the OSLOM-style significance
-    post-pass — the fork's flagship ``EgoSplitting +
-    SignificanceCommunityCleanUp`` combination (``egosplit/benchmarks``
-    configs pair them; ``cleanup/SignificanceCommunityCleanUp.h``)."""
-    spark = graph.spark
-    e = (
-        graph.edges.where(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+def _ego_local_distributed(e: DataFrame, max_ego_degree: int | None) -> DataFrame:
+    """The at-scale LOCAL phase: ego-net wedge join (hub egos capped via
+    a deterministic neighbor sample) + per-ego union-find, returning the
+    persona membership (ego, member, rep)."""
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
     # the ego-net view: full adjacency for normal egos; a deterministic
@@ -149,7 +115,165 @@ def ego_splitting(
     # each appear 2-3× in downstream joins — without plan truncation the
     # logical tree grows multiplicatively and Catalyst spends minutes just
     # stringifying it per job (observed 500 s CPU in generateTreeString)
-    membership = comps.unionByName(singletons).localCheckpoint(eager=True)
+    return comps.unionByName(singletons).localCheckpoint(eager=True)
+
+
+def _ego_local_fused(e: DataFrame, e_pdf) -> DataFrame:
+    """Small-graph escape hatch for the LOCAL phase (same family as the
+    linkpred/prefix-Jaccard block kernels): the distributed form
+    materializes the Σ deg² ego-net wedge join and routes ~3·#triangles
+    rows through a per-ego ``applyInPandas`` — tens of millions of
+    shuffled rows at bench scale.  Here the sorted adjacency is
+    broadcast, the EGOS fan out in index blocks, and each task builds
+    its egos' ego-net edges by a vectorized membership probe
+    (searchsorted on the (node, nbr) composite key), then runs min-label
+    propagation with pointer jumping to the per-ego-net components —
+    converged labels ARE the union-find reps (min member id).  Members
+    on no ego-net edge keep their own id: the singleton personas, same
+    as the distributed anti-join.  Engages only when every ego is under
+    ``max_ego_degree`` (so semantics are EXACTLY the distributed
+    path's — no hub sampling divergence) and the wedge volume fits;
+    pytest asserts membership equality with the distributed phase."""
+    spark = e.sparkSession
+    src = e_pdf["src"].to_numpy(np.int64)
+    dst = e_pdf["dst"].to_numpy(np.int64)
+    s_all = np.concatenate([src, dst])
+    d_all = np.concatenate([dst, src])
+    nodes = np.unique(s_all)
+    n = len(nodes)
+    si = np.searchsorted(nodes, s_all)
+    di = np.searchsorted(nodes, d_all)
+    order = np.lexsort((di, si))
+    s_o, d_o = si[order], di[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, s_o + 1, 1)
+    indptr = np.cumsum(indptr)
+    adj_key = s_o * np.int64(n) + d_o  # sorted ascending by construction
+    bc = spark.sparkContext.broadcast((indptr, d_o, adj_key, nodes))
+    nb = max(1, min(spark.sparkContext.defaultParallelism * 2, n))
+    cuts = np.linspace(0, n, nb + 1).astype(np.int64)
+    bounds = [(int(lo), int(hi)) for lo, hi in zip(cuts[:-1], cuts[1:]) if hi > lo]
+
+    def kernel(batches):
+        indptr_, nbr_, akey_, nds = bc.value
+        nn = np.int64(len(nds))
+        for b in batches:
+            for lo, hi in zip(b["lo"].to_numpy(), b["hi"].to_numpy()):
+                egos = np.arange(lo, hi, dtype=np.int64)
+                cnt = indptr_[egos + 1] - indptr_[egos]
+                # (ego, member) rows = the block's adjacency slice —
+                # contiguous in the CSR, members sorted within each ego
+                mflat = np.arange(indptr_[lo], indptr_[hi], dtype=np.int64)
+                m_ego = np.repeat(egos, cnt)
+                m_mem = nbr_[mflat]
+                mem_key = m_ego * nn + m_mem  # ascending
+                # second-level gather: for each (ego, v) row, v's own
+                # neighbors w; keep w ∈ N(ego) (triangle corner) and v < w
+                vcnt = indptr_[m_mem + 1] - indptr_[m_mem]
+                total = int(vcnt.sum())
+                row2 = np.repeat(np.arange(len(m_mem), dtype=np.int64), vcnt)
+                offs = np.cumsum(vcnt) - vcnt
+                flat2 = np.repeat(indptr_[m_mem], vcnt) + (
+                    np.arange(total, dtype=np.int64) - np.repeat(offs, vcnt)
+                )
+                w2 = nbr_[flat2]
+                v2 = m_mem[row2]
+                ego2 = m_ego[row2]
+                keep = v2 < w2
+                ego2, v2, w2 = ego2[keep], v2[keep], w2[keep]
+                probe = ego2 * nn + w2
+                pos = np.searchsorted(akey_, probe)
+                hit = (pos < len(akey_)) & (akey_[np.minimum(pos, len(akey_) - 1)] == probe)
+                ego2, v2, w2 = ego2[hit], v2[hit], w2[hit]
+                # indices of (ego, v) / (ego, w) in the block's member table
+                iv = np.searchsorted(mem_key, ego2 * nn + v2)
+                iw = np.searchsorted(mem_key, ego2 * nn + w2)
+                # min-label propagation + pointer jumping to components
+                lab = m_mem.copy()
+                for _ in range(64):
+                    old = lab
+                    lab = lab.copy()
+                    if len(iv):
+                        np.minimum.at(lab, iv, old[iw])
+                        np.minimum.at(lab, iw, old[iv])
+                    # pointer jump: label value -> its own (ego, label) row
+                    jpos = np.searchsorted(mem_key, m_ego * nn + lab)
+                    valid = (jpos < len(mem_key)) & (
+                        mem_key[np.minimum(jpos, len(mem_key) - 1)] == m_ego * nn + lab
+                    )
+                    lab = np.where(valid, np.minimum(lab, lab[np.minimum(jpos, len(mem_key) - 1)]), lab)
+                    if np.array_equal(lab, old):
+                        break
+                yield pd.DataFrame(
+                    {"ego": nds[m_ego], "member": nds[m_mem], "rep": nds[lab]}
+                )
+
+    blocks = spark.createDataFrame(bounds, "lo long, hi long").repartition(len(bounds))
+    return blocks.mapInPandas(kernel, "ego long, member long, rep long")
+
+
+def ego_splitting(
+    graph: EdgeGraph,
+    global_algo=None,
+    max_iter: int = 16,
+    min_community_size: int = 5,
+    cleanup: bool = False,
+    max_ego_degree: int | None = 2000,
+    fused_local: bool | None = None,
+) -> DataFrame:
+    """Returns the Cover: (node, label), possibly multiple rows per node.
+
+    Communities smaller than ``min_community_size`` are discarded, matching
+    the reference's post-pass (``EgoSplitting.cpp:804-812``, min_size=5) —
+    singleton personas otherwise dominate the cover on sparse graphs.
+
+    ``max_ego_degree`` bounds the per-ego work: the ego-net wedge join is
+    O(deg²) and each ego's union-find is ONE ``applyInPandas`` task, so a
+    degree-10⁵ hub would put ~10¹⁰ candidate wedges in a single task.
+    Egos above the cap have their ego-net built on a DETERMINISTIC sample
+    of ``max_ego_degree`` neighbors (xxhash64(ego, nbr) rank — stable at
+    any parallelism); sampled-out neighbors still receive singleton
+    personas, so the persona-edge mapping stays total and the cover still
+    covers every node.  Recall bound: within a hub's ego-net, a cluster
+    keeps ≥ cap/deg of its members in expectation — hub ego-nets degrade
+    gracefully to coarser splits instead of blowing up one task.  The
+    reference has the same O(deg²) asymptotics but on shared memory
+    (``EgoSplitting.cpp`` runs ego-nets serially per thread).
+
+    ``cleanup=True`` pipes the cover through the OSLOM-style significance
+    post-pass — the fork's flagship ``EgoSplitting +
+    SignificanceCommunityCleanUp`` combination (``egosplit/benchmarks``
+    configs pair them; ``cleanup/SignificanceCommunityCleanUp.h``)."""
+    import os
+
+    spark = graph.spark
+    e = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    membership = None
+    if fused_local is not False and e.count() <= int(
+        os.environ.get("SPARK_GRAFT_FUSED_EDGES", str(1 << 23))
+    ) // 4:
+        e_pdf = e.toPandas()
+        if len(e_pdf):
+            _ids = np.concatenate(
+                [e_pdf["src"].to_numpy(np.int64), e_pdf["dst"].to_numpy(np.int64)]
+            )
+            _deg = np.bincount(np.unique(_ids, return_inverse=True)[1]).astype(np.float64)
+            # only when no ego exceeds the cap (fused ≡ distributed
+            # exactly — no hub-sampling divergence) and the wedge
+            # volume fits a task comfortably
+            if (
+                fused_local
+                or (max_ego_degree is None or _deg.max() <= max_ego_degree)
+                and float((_deg * _deg).sum()) <= float(1 << 28)
+            ):
+                membership = _ego_local_fused(e, e_pdf).localCheckpoint(eager=True)
+    if membership is None:
+        membership = _ego_local_distributed(e, max_ego_degree)
 
     # persona ids: global ascending rank of (ego, rep) — assigned with
     # per-partition offsets (assign_dense_ids), no single-partition sort

@@ -78,3 +78,33 @@ def test_clustered_blocks_with_bridge_overlap(spark):
     cover = ego_splitting(g, min_community_size=1)
     nodes = {r["node"] for r in cover.collect()}
     assert nodes == set(range(8))
+
+
+def test_ego_local_fused_equals_distributed(spark):
+    """The blocked-numpy local phase returns EXACTLY the distributed
+    wedge-join + union-find membership (ego, member, rep) — reps are the
+    min member id of each ego-net component, singletons keep self."""
+    from networkit_spark.operators.egosplit import (
+        _ego_local_distributed,
+        _ego_local_fused,
+    )
+
+    edges = BOWTIE + [(4, 5), (5, 6), (4, 6), (2, 7), (7, 8), (6, 60)]
+    edges += [(i, (i * 13 + 5) % 40 + 10) for i in range(20)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    e = (
+        g.edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = sorted(
+        _ego_local_fused(e, e.toPandas()).collect(),
+        key=lambda r: (r["ego"], r["member"]),
+    )
+    b = sorted(
+        _ego_local_distributed(e, None).collect(),
+        key=lambda r: (r["ego"], r["member"]),
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 50
