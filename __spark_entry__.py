@@ -971,13 +971,18 @@ hsym AS (
   SELECT l.lvl, e.dst, e.src FROM edges e JOIN lvls l ON e.weight > l.lvl WHERE e.src <> e.dst
 ),
 hn AS (SELECT DISTINCT lvl, u AS node FROM hsym),
-reach(lvl, node, comp) AS (
-  SELECT lvl, node, node FROM hn
-  UNION
-  SELECT h.lvl, h.v, r.comp FROM reach r JOIN hsym h ON h.lvl = r.lvl AND h.u = r.node
-  WHERE r.comp < h.v
+hnp AS (SELECT lvl, u, v FROM hsym UNION ALL SELECT lvl, node, node FROM hn),
+-- bounded per-level min-label propagation (same rationale as the
+-- graph_components oracle: the closure CTE accumulates O(n^2) pairs)
+lp(iter, lvl, node, comp) AS (
+  SELECT 0, lvl, node, node FROM hn
+  UNION ALL
+  SELECT l.iter + 1, h.lvl, h.v, MIN(l.comp)
+  FROM lp l JOIN hnp h ON h.lvl = l.lvl AND h.u = l.node
+  WHERE l.iter < 40
+  GROUP BY l.iter + 1, h.lvl, h.v
 ),
-cc AS (SELECT lvl, node, MIN(comp) AS comp FROM reach GROUP BY lvl, node)
+cc AS (SELECT lvl, node, MIN(comp) AS comp FROM lp WHERE iter = 40 GROUP BY lvl, node)
 SELECT e.src, e.dst, ROUND(e.weight, 6) AS weight
 FROM edges e
 LEFT JOIN cc ca ON ca.lvl = e.weight AND ca.node = e.src
@@ -1228,16 +1233,17 @@ WITH {_GRAPH_CTES},
 e AS (SELECT src, dst FROM edges),
 deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
-wed AS (
-  SELECT a.v AS z, a.u AS u, b.u AS v
-  FROM (SELECT v, u FROM sym) a JOIN (SELECT v, u FROM sym) b ON a.v = b.v
-  WHERE a.u < b.u
+-- zdeg is attached to the O(m) adjacency BEFORE the wedge self-join,
+-- so the O(sum deg^2) pair stream never passes through a second join
+symdeg AS MATERIALIZED (
+  SELECT s.v AS z, s.u AS u, d.deg AS zdeg FROM sym s JOIN deg d ON s.v = d.node
 ),
 inter AS (
-  SELECT w.u, w.v, COUNT(*) AS cn,
-         SUM(1.0 / LN(dz.deg)) AS aa, SUM(1.0 / dz.deg) AS ra
-  FROM wed w JOIN deg dz ON w.z = dz.node
-  GROUP BY w.u, w.v
+  SELECT a.u, b.u AS v, COUNT(*) AS cn,
+         SUM(1.0 / LN(a.zdeg)) AS aa, SUM(1.0 / a.zdeg) AS ra
+  FROM symdeg a JOIN (SELECT z, u FROM symdeg) b ON a.z = b.z
+  WHERE a.u < b.u
+  GROUP BY a.u, b.u
 ),
 scored AS (
   SELECT i.u, i.v, i.cn AS common_neighbors,
