@@ -25,8 +25,82 @@ from pyspark.sql import DataFrame, functions as F
 from networkit_spark.graph import EdgeGraph
 
 
-def bfs(graph: EdgeGraph, source: int, max_depth: int | None = None) -> DataFrame:
+def _bfs_fused_local(graph: EdgeGraph, source: int, max_depth: int | None) -> DataFrame:
+    """Small-graph escape hatch (same family as plp/linkpred fused
+    paths): every frontier level of the distributed loop is a Spark job
+    with a ~0.5 s floor, so a diameter-d BFS pays d job floors for
+    microseconds of work on a small store.  One single-task numpy level
+    loop instead; distributed loop above $SPARK_GRAFT_FUSED_EDGES."""
+    import numpy as np
+    import pandas as pd
+
+    src_id = int(source)
+
+    def kernel(batches):
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        s = np.concatenate([b["src"].to_numpy(np.int64) for b in pdfs])
+        d = np.concatenate([b["dst"].to_numpy(np.int64) for b in pdfs])
+        nodes = np.unique(np.concatenate([s, d]))
+        n = len(nodes)
+        si, di = np.searchsorted(nodes, s), np.searchsorted(nodes, d)
+        order = np.argsort(si, kind="stable")
+        s_o, d_o = si[order], di[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, s_o + 1, 1)
+        indptr = np.cumsum(indptr)
+        pos = np.searchsorted(nodes, src_id)
+        if pos >= n or nodes[pos] != src_id:
+            yield pd.DataFrame({"node": [src_id], "dist": [0]})
+            return
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[pos] = 0
+        frontier = np.array([pos], dtype=np.int64)
+        lvl = 0
+        while len(frontier):
+            lvl += 1
+            if max_depth is not None and lvl > max_depth:
+                break
+            cnt = indptr[frontier + 1] - indptr[frontier]
+            total = int(cnt.sum())
+            offs = np.cumsum(cnt) - cnt
+            flat = np.repeat(indptr[frontier], cnt) + (
+                np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+            )
+            nxt = np.unique(d_o[flat])
+            nxt = nxt[dist[nxt] < 0]
+            dist[nxt] = lvl
+            frontier = nxt
+        reached = np.flatnonzero(dist >= 0)
+        yield pd.DataFrame({"node": nodes[reached], "dist": dist[reached]})
+
+    out = (
+        graph.sym()
+        .select("src", "dst")
+        .coalesce(1)
+        .mapInPandas(kernel, "node long, dist long")
+    )
+    # a source isolated from every edge still reports itself at dist 0
+    srcrow = graph.spark.createDataFrame([(src_id, 0)], "node long, dist long")
+    return out.unionByName(srcrow).groupBy("node").agg(F.min("dist").alias("dist"))
+
+
+def bfs(
+    graph: EdgeGraph,
+    source: int,
+    max_depth: int | None = None,
+    fused_local: bool | None = None,
+) -> DataFrame:
     """(node, dist) — hop distance from source; reachable nodes only."""
+    if fused_local is None:
+        import os
+
+        fused_local = graph.num_edges() <= int(
+            os.environ.get("SPARK_GRAFT_FUSED_EDGES", str(1 << 23))
+        ) // 4
+    if fused_local:
+        return _bfs_fused_local(graph, source, max_depth)
     sym = graph.sym().select("src", "dst").persist()
     dist = graph.spark.createDataFrame([(int(source), 0)], "node long, dist long")
     dist = dist.localCheckpoint(eager=True)
