@@ -140,6 +140,7 @@ def run_pagerank_only(
     synthetic: str | None = None,
     blob_dir: str | None = None,
     prepare_only: bool = False,
+    num_parts: int | None = None,
 ) -> dict:
     """PageRank throughput probe on the blob superstep engine.
 
@@ -167,7 +168,7 @@ def run_pagerank_only(
             g = tpch_link_graph(spark, sf_dir)
             g.edges.persist()
             m_sym = 2 * g.num_edges()
-        prep_s, eng = timed(lambda: PageRankBlobEngine(g, blob_dir=blob_dir))
+        prep_s, eng = timed(lambda: PageRankBlobEngine(g, num_parts=num_parts, blob_dir=blob_dir))
         if prepare_only:
             return {"prepared": eng.blob_dir, "prepare_sec": round(prep_s, 3), "edges_sym": m_sym}
     wall, _ = timed(lambda: eng.run(damp=0.85, tol=0.0, max_iter=iters).count())
@@ -193,6 +194,13 @@ def main():
     )
     ap.add_argument("--blob-dir", default=None, help="shared blob store path (scaling protocol)")
     ap.add_argument("--prepare-only", action="store_true", help="build the blob store and exit")
+    ap.add_argument(
+        "--blob-parts", type=int, default=0, metavar="P",
+        help="CSR partition count for --prepare-only (default: shuffle "
+             "partitions).  Size it like a cluster: >= 2 waves per core at "
+             "the LARGEST parallelism the store will run at, so stage walls "
+             "are not quantized to the slowest (hub-heaviest) task",
+    )
     args = ap.parse_args()
 
     cpus = int(args.cpus)
@@ -207,6 +215,7 @@ def main():
             out = run_pagerank_only(
                 spark, args.sf_dir, args.pagerank_only or 0, args.synthetic,
                 blob_dir=args.blob_dir, prepare_only=args.prepare_only,
+                num_parts=args.blob_parts or None,
             )
             out.update({"cpus": cpus, "sf": _sf_of(args.sf_dir), "synthetic": args.synthetic})
             print(json.dumps(out))
