@@ -195,6 +195,13 @@ def main():
     ap.add_argument("--blob-dir", default=None, help="shared blob store path (scaling protocol)")
     ap.add_argument("--prepare-only", action="store_true", help="build the blob store and exit")
     ap.add_argument(
+        "--master", default=None,
+        help="override the Spark master (e.g. local-cluster[8,1,4096] for "
+             "a true multi-executor pseudo-cluster: separate executor JVMs, "
+             "real scheduler/shuffle paths — the closest single-box analog "
+             "of the N-vs-4N-executor criterion)",
+    )
+    ap.add_argument(
         "--blob-parts", type=int, default=0, metavar="P",
         help="CSR partition count for --prepare-only (default: shuffle "
              "partitions).  Size it like a cluster: >= 2 waves per core at "
@@ -206,7 +213,7 @@ def main():
     cpus = int(args.cpus)
     spark = get_spark(
         app_name="networkit-spark-bench",
-        master=f"local[{cpus}]",
+        master=args.master or f"local[{cpus}]",
         shuffle_partitions=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )

@@ -182,7 +182,23 @@ class PageRankBlobEngine:
         self.n = meta["n"]
         self.salted = meta.get("salted", False)
         self._m_sym = meta.get("m_sym")
+        self._clamp_columnar_batch()
         return self
+
+    def _clamp_columnar_batch(self) -> None:
+        """Bound the vectorized parquet reader's batch ROW count so one
+        column-vector reservation for the checkpointed state (binary
+        cells of part_size·8 bytes) stays ~64 MB.  With the default 4096
+        rows/batch, an executor resuming a big store's state reserves
+        4096·|blob| contiguous heap bytes and OOMs at realistic executor
+        sizes (observed on local-cluster[2,1,4096] with the 800 M-edge
+        store: 4096·62 KB ≈ 250 MB per vector).  Session-wide and not
+        restored: the returned state frames are consumed lazily after
+        run() returns.  For small stores the clamp stays at 4096, so
+        ordinary parquet scans are unaffected."""
+        blob = 8 * max(self.part_sizes.values(), default=1)
+        batch = max(4, min(4096, (64 << 20) // max(blob, 1)))
+        self.spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", str(batch))
 
     def m_sym(self) -> int:
         """Symmetrized edge rows in the store (gather rows/superstep).
@@ -242,6 +258,7 @@ class PageRankBlobEngine:
         )
         self.part_sizes = {int(r["part"]): int(r["cnt"]) for r in parts_df.collect()}
         self.state_parts = sorted(self.part_sizes)
+        self._clamp_columnar_batch()
         # hub salting: sources over hub_cap get their adjacency sliced
         # round-robin across partitions (src+1+j) % P; everyone else
         # keeps the zero-routing home partition src % P

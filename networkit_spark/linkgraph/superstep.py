@@ -507,4 +507,30 @@ class Checkpointer:
         if self.dir:
             with open(self._metrics_path(), "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        if durable:
+            self._prune(keep=2, current=iteration)
         return out
+
+    def _prune(self, keep: int, current: int) -> None:
+        """Drop durable state dirs older than the newest ``keep``.
+
+        A long run otherwise accumulates one ~|state| parquet dir per
+        durable interval — an unbounded disk leak (observed: 1.5 GB per
+        20-superstep leg on the 800 M-edge store).  Runs AFTER the
+        current iteration's metrics row is on disk, so resume always
+        has a fully-committed checkpoint newer than anything pruned;
+        ``keep=2`` retains the previous checkpoint as the fallback for
+        a torn write of the newest."""
+        if not self.dir:
+            return
+        import re
+        import shutil as _sh
+
+        iters = sorted(
+            int(m.group(1))
+            for d in os.listdir(self.dir)
+            if (m := re.fullmatch(r"iter=(\d+)", d))
+        )
+        for it in iters[:-keep] if len(iters) > keep else []:
+            if it < current:
+                _sh.rmtree(os.path.join(self.dir, f"iter={it}"), ignore_errors=True)

@@ -87,6 +87,13 @@ def main():
                          ">= 2 waves/core at the largest leg)")
     ap.add_argument("--pin-total", type=int, default=32)
     ap.add_argument("--legs", default="2,8,2,8")
+    ap.add_argument(
+        "--local-cluster-mem", type=int, default=0, metavar="MB",
+        help="run each leg as local-cluster[c,1,MB] — c separate "
+             "single-core executor JVMs (true multi-executor scheduler/"
+             "shuffle paths), the closest single-box analog of the "
+             "N-vs-4N-executor criterion",
+    )
     args = ap.parse_args()
 
     own_store = args.blob_dir is None
@@ -115,10 +122,11 @@ def main():
                                  stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
                 for _ in range(nspin)
             ]
+            leg_extra = ["--pagerank-only", str(args.iters), "--blob-dir", blob_dir]
+            if args.local_cluster_mem:
+                leg_extra += ["--master", f"local-cluster[{c},1,{args.local_cluster_mem}]"]
             try:
-                r = run_bench(
-                    ["--pagerank-only", str(args.iters), "--blob-dir", blob_dir], cpus=c
-                )
+                r = run_bench(leg_extra, cpus=c)
             finally:
                 for p in spinners:
                     p.kill()
