@@ -39,13 +39,18 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--synthetic", default="500000,800000000")
     ap.add_argument("--prepare-cpus", type=int, default=16)
+    # P >= 2 waves/core at the largest leg (local[32]) — the P=16 store
+    # quantized local[8] to 2 waves and starved half of local[32]'s
+    # cores outright; see BENCH.md "controlled windows" for the A/B.
+    ap.add_argument("--blob-parts", type=int, default=64)
     args = ap.parse_args()
 
     blob_dir = tempfile.mkdtemp(prefix="nk_scaling_r4_")
     try:
         print(f"preparing blob store ({args.synthetic}) ...", flush=True)
         prep = run_bench(
-            ["--prepare-only", "--synthetic", args.synthetic, "--blob-dir", blob_dir],
+            ["--prepare-only", "--synthetic", args.synthetic, "--blob-dir", blob_dir,
+             "--blob-parts", str(args.blob_parts)],
             cpus=args.prepare_cpus,
         )
         print(json.dumps(prep), flush=True)
