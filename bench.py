@@ -27,10 +27,6 @@ from pyspark.sql import functions as F
 
 from networkit_spark.session import get_spark
 from networkit_spark.linkgraph.extract import tpch_link_graph
-from networkit_spark.linkgraph.superstep import prepare
-from networkit_spark.operators.pagerank import pagerank
-from networkit_spark.operators.components import connected_components
-from networkit_spark.operators.plp import plp
 from networkit_spark.operators import triangles as tri
 from networkit_spark.functions import dedup, similarity
 
@@ -66,15 +62,13 @@ def run_headline(spark, sf_dir: str) -> dict:
     sized_parts = max(4, min(cpus, (2 * m) // 400_000))
     blob_parts = int(os.environ.get("SPARK_GRAFT_BLOB_PARTS", "0")) or sized_parts
 
-    # one prepared (hub-salted, CSR-partitioned) graph shared by the
-    # iterative kernels — mirrors production, where prepare() runs once
-    prep_s, prepared = timed(lambda: prepare(g.sym(), num_parts=blob_parts))
-    results["prepare"] = round(prep_s, 3)
-
+    # ONE prepared (CSR blob) store shared by ALL the iterative kernels
+    # — PageRank, connected components, AND PLP run off the same blobs
+    # (round 4 built two near-identical stores; 31% of the headline)
     from networkit_spark.linkgraph.blobstep import PageRankBlobEngine
 
-    blob_prep_s, blob_eng = timed(lambda: PageRankBlobEngine(g, num_parts=blob_parts))
-    results["pagerank_prepare"] = round(blob_prep_s, 3)
+    prep_s, blob_eng = timed(lambda: PageRankBlobEngine(g, num_parts=blob_parts))
+    results["prepare"] = round(prep_s, 3)
     pr_s, pr = timed(lambda: blob_eng.run(damp=0.85, tol=1e-6))
     n_rows = pr.count()
     results["pagerank_1e6"] = round(pr_s, 3)
@@ -87,13 +81,12 @@ def run_headline(spark, sf_dir: str) -> dict:
     }
     results["pagerank_10iter"] = round(it_s, 3)
 
-    # CC reuses the SAME blob store as PageRank (prepare amortized)
     cc_s, cc = timed(lambda: blob_eng.run_components().count())
     results["connected_components"] = round(cc_s, 3)
-    blob_eng.close()
 
-    plp_s, _ = timed(lambda: plp(g, max_iter=5, impl="csr", prepared=prepared).count())
+    plp_s, _ = timed(lambda: blob_eng.run_plp(max_iter=5).count())
     results["plp_5_sweeps"] = round(plp_s, 3)
+    blob_eng.close()
 
     tri_s, total = timed(lambda: tri.triangle_list(g).count())
     results["triangle_count"] = round(tri_s, 3)
@@ -110,7 +103,6 @@ def run_headline(spark, sf_dir: str) -> dict:
     )
     results["cosine_topk"] = round(knn_s, 3)
 
-    prepared.unpersist()
     g.edges.unpersist()
     return {"queries": results, "detail": detail}
 
@@ -202,11 +194,13 @@ def main():
              "of the N-vs-4N-executor criterion)",
     )
     ap.add_argument(
-        "--blob-parts", type=int, default=0, metavar="P",
-        help="CSR partition count for --prepare-only (default: shuffle "
-             "partitions).  Size it like a cluster: >= 2 waves per core at "
-             "the LARGEST parallelism the store will run at, so stage walls "
-             "are not quantized to the slowest (hub-heaviest) task",
+        "--blob-parts", type=int, default=None, metavar="P",
+        help="CSR partition count whenever the engine builds a fresh blob "
+             "store (any run whose --blob-dir lacks meta.json, not just "
+             "--prepare-only; default: shuffle partitions).  Size it like "
+             "a cluster: >= 2 waves per core at the LARGEST parallelism "
+             "the store will run at, so stage walls are not quantized to "
+             "the slowest (hub-heaviest) task",
     )
     args = ap.parse_args()
 
@@ -222,7 +216,7 @@ def main():
             out = run_pagerank_only(
                 spark, args.sf_dir, args.pagerank_only or 0, args.synthetic,
                 blob_dir=args.blob_dir, prepare_only=args.prepare_only,
-                num_parts=args.blob_parts or None,
+                num_parts=args.blob_parts,
             )
             out.update({"cpus": cpus, "sf": _sf_of(args.sf_dir), "synthetic": args.synthetic})
             print(json.dumps(out))

@@ -73,6 +73,56 @@ except Exception:  # pragma: no cover
 _BLOB_CACHE: dict = {}
 
 
+def _plp_argmax(idx: np.ndarray, lab: np.ndarray, w: np.ndarray):
+    """Per-``idx`` argmax(Σw) with smallest-label tie-break over sparse
+    (idx, label, w) triples — the PLP adoption rule
+    (``cpp/community/PLP.cpp:83-95``) in three linear passes: lexsort,
+    segmented sum, winner = first label-ascending group hitting the
+    per-idx max.  Returns (winner_idx, winner_label)."""
+    if len(idx) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((lab, idx))
+    i_s, l_s, w_s = idx[order], lab[order], w[order]
+    new_grp = np.empty(len(i_s), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (i_s[1:] != i_s[:-1]) | (l_s[1:] != l_s[:-1])
+    starts = np.flatnonzero(new_grp)
+    g_i, g_l = i_s[starts], l_s[starts]
+    g_w = np.add.reduceat(w_s, starts)
+    dnew = np.empty(len(g_i), dtype=bool)
+    dnew[0] = True
+    dnew[1:] = g_i[1:] != g_i[:-1]
+    dstarts = np.flatnonzero(dnew)
+    dmax = np.maximum.reduceat(g_w, dstarts)
+    counts = np.diff(np.append(dstarts, len(g_i)))
+    widx = np.flatnonzero(g_w == np.repeat(dmax, counts))
+    wi = g_i[widx]
+    fmask = np.empty(len(wi), dtype=bool)
+    fmask[0] = True
+    fmask[1:] = wi[1:] != wi[:-1]
+    winners = widx[fmask]
+    return g_i[winners], g_l[winners]
+
+
+def _plp_pack(idx: np.ndarray, lab: np.ndarray, w: np.ndarray) -> bytes:
+    """Pack equal-length (int64 idx, int64 label, float64 w) arrays into
+    one binary cell: [idx bytes][label bytes][w bytes]."""
+    return (
+        np.ascontiguousarray(idx, dtype=np.int64).tobytes()
+        + np.ascontiguousarray(lab, dtype=np.int64).tobytes()
+        + np.ascontiguousarray(w, dtype=np.float64).tobytes()
+    )
+
+
+def _plp_unpack(b: bytes):
+    L = len(b) // 24
+    return (
+        np.frombuffer(b[: 8 * L], dtype=np.int64),
+        np.frombuffer(b[8 * L : 16 * L], dtype=np.int64),
+        np.frombuffer(b[16 * L :], dtype=np.float64),
+    )
+
+
 def _load(blob_dir: str, part: int, names: tuple[str, ...]):
     out = []
     for nm in names:
@@ -192,13 +242,22 @@ class PageRankBlobEngine:
         rows/batch, an executor resuming a big store's state reserves
         4096·|blob| contiguous heap bytes and OOMs at realistic executor
         sizes (observed on local-cluster[2,1,4096] with the 800 M-edge
-        store: 4096·62 KB ≈ 250 MB per vector).  Session-wide and not
-        restored: the returned state frames are consumed lazily after
-        run() returns.  For small stores the clamp stays at 4096, so
-        ordinary parquet scans are unaffected."""
+        store: 4096·62 KB ≈ 250 MB per vector).  The clamp only ever
+        LOWERS the session value (a user-set smaller batch size is
+        respected), the prior value is remembered once, and ``close()``
+        restores it — state frames are consumed lazily across run()
+        calls, so the engine's lifetime is the clamp's scope."""
         blob = 8 * max(self.part_sizes.values(), default=1)
-        batch = max(4, min(4096, (64 << 20) // max(blob, 1)))
-        self.spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", str(batch))
+        want = max(4, (64 << 20) // max(blob, 1))
+        try:
+            cur = int(self.spark.conf.get("spark.sql.parquet.columnarReaderBatchSize"))
+        except Exception:
+            cur = 4096
+        if want >= cur:
+            return  # never raise the session's value
+        if getattr(self, "_prev_batch", None) is None:
+            self._prev_batch = cur
+        self.spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", str(want))
 
     def m_sym(self) -> int:
         """Symmetrized edge rows in the store (gather rows/superstep).
@@ -1055,9 +1114,312 @@ class PageRankBlobEngine:
 
         return state.groupBy("key").applyInPandas(unpack, "node long, label long")
 
+    def run_plp(
+        self,
+        theta: float | None = None,
+        max_iter: int | None = None,
+        checkpointer: Checkpointer | None = None,
+        chain_k: int = 8,
+        fused_local: bool | None = None,
+    ) -> DataFrame:
+        """Synchronous PLP label propagation on the SAME blob store —
+        one more kernel over the prepared CSR blocks, so PageRank /
+        components / PLP all amortize a single prepare (the bench and
+        a real pipeline call them back-to-back).  Semantics match
+        ``operators.plp.plp`` exactly (``cpp/community/PLP.cpp:28-121``
+        synchronous variant): heaviest incident label weight, smallest
+        label id on ties, stop at ``updated ≤ theta`` (default n/1e5)
+        or ``max_iter`` SWEEPS (the primer gather stage is free).
+
+        The label-weight combine is a weighted MODE, so partials ship
+        as SPARSE (receiver-idx, label, wsum) triples pre-aggregated
+        per source partition — O(edges-crossing/P) per pair, the same
+        volume the DataFrame gather would shuffle, in packed numpy.
+        ``fused_local`` as in :meth:`run`: small stores run every chain
+        inside one single-task stage with identical algebra.
+
+        ``max_iter=None`` is capped at 256 sweeps: SYNCHRONOUS label
+        propagation can 2-cycle on symmetric structures (the reference's
+        asynchronous OpenMP sweeps break such cycles by accident of
+        ordering), so an unbounded run must not hang on oscillation."""
+        if getattr(self, "salted", False):
+            raise NotImplementedError(
+                "run_plp on a hub-salted blob store is not wired yet — "
+                "prepare with a higher hub_cap or use operators.plp "
+                "(impl='csr' handles salting)"
+            )
+        if fused_local is None:
+            fused_local = self.m_sym() <= int(
+                os.environ.get("SPARK_GRAFT_FUSED_EDGES", str(1 << 23))
+            )
+        P, n, bd = self.P, self.n, self.blob_dir
+        if theta is None:
+            theta = n / 1e5
+        if max_iter is None:
+            max_iter = 256
+        part_sizes = self.part_sizes
+        conf = self.spark.conf
+        old_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        if checkpointer is None or checkpointer.dir is None:
+            import tempfile
+
+            ckpt = Checkpointer(
+                tempfile.mkdtemp(prefix="nk_prstate_", dir=os.path.dirname(bd)),
+                interval=1,
+            )
+        else:
+            ckpt = checkpointer
+            ckpt.interval = 1
+
+        resumed = ckpt.resume(self.spark)
+        if resumed is not None:
+            it, stream = resumed
+            gathered = True  # checkpoints are written after full stages
+        else:
+            it = 0
+            gathered = False
+
+            def init_labels(pdf: pd.DataFrame) -> pd.DataFrame:
+                part = int(pdf["part"].iloc[0])
+                (snodes,) = _load(bd, part, ("snodes",))
+                return pd.DataFrame(
+                    {
+                        "key": [part],
+                        "kind": [1],
+                        "blob": [np.asarray(snodes, dtype=np.int64).tobytes()],
+                        "gathered": [0],
+                        "changed": [float("inf")],
+                    }
+                )
+
+            seed = self.spark.createDataFrame(
+                [(p,) for p in self.state_parts], "part int"
+            )
+            stream = ckpt.step(
+                seed.groupBy("part").applyInPandas(
+                    init_labels,
+                    "key int, kind int, blob binary, gathered int, changed double",
+                ),
+                0,
+            )
+
+        state_parts = self.state_parts
+
+        def _gather_triples(part: int, lab: np.ndarray):
+            """One partition's label gather: per destination part, the
+            (local-idx, label, wsum) triples pre-summed over this
+            block's edges.  Yields (q, lidx, labs, ws)."""
+            if not os.path.exists(os.path.join(bd, f"p{part}_row.npy")):
+                return
+            (snodes,) = _load(bd, part, ("snodes",))
+            row_nodes, indptr, inv, bounds, ridx = _load(
+                bd, part, ("row", "indptr", "rinv", "rbounds", "ridx")
+            )
+            w = _load_opt(bd, part, "w")
+            key = (bd, part, "__gatherplan")
+            plan_arrs = _BLOB_CACHE.get(key)
+            if plan_arrs is None:
+                plan_arrs = (np.searchsorted(snodes, row_nodes), np.diff(indptr))
+                _BLOB_CACHE[key] = plan_arrs
+            pos, counts = plan_arrs
+            sender_lab = np.repeat(lab[pos], counts)
+            inv_a = np.asarray(inv)
+            ew = (
+                np.asarray(w, dtype=np.float64)
+                if w is not None
+                else np.ones(len(sender_lab))
+            )
+            # pre-aggregate by (receiver slot, label) — slots are
+            # ordered by (dpart, node), so one lexsort both combines
+            # and leaves the groups sliceable per destination part
+            order = np.lexsort((sender_lab, inv_a))
+            s_slot, s_lab, s_w = inv_a[order], sender_lab[order], ew[order]
+            new_grp = np.empty(len(s_slot), dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (s_slot[1:] != s_slot[:-1]) | (s_lab[1:] != s_lab[:-1])
+            starts = np.flatnonzero(new_grp)
+            g_slot, g_lab = s_slot[starts], s_lab[starts]
+            g_w = np.add.reduceat(s_w, starts)
+            ridx_a = np.asarray(ridx)
+            cuts = np.searchsorted(g_slot, np.asarray(bounds))
+            for q in range(P):
+                lo, hi = int(cuts[q]), int(cuts[q + 1])
+                if lo < hi:
+                    yield q, ridx_a[g_slot[lo:hi]], g_lab[lo:hi], g_w[lo:hi]
+
+        def fused_stage(pdf: pd.DataFrame) -> pd.DataFrame:
+            srow = pdf[pdf["kind"] == 1]
+            if len(srow) == 0:
+                return pdf.iloc[0:0]
+            part = int(srow["key"].iloc[0])
+            old = np.frombuffer(srow["blob"].iloc[0], dtype=np.int64)
+            primer = int(srow["gathered"].iloc[0]) == 0
+            if primer:
+                new, changed = old, float("inf")
+            else:
+                blobs = pdf[pdf["kind"] == 0]["blob"]
+                if len(blobs):
+                    parts3 = [_plp_unpack(b) for b in blobs]
+                    idx = np.concatenate([t[0] for t in parts3])
+                    labs = np.concatenate([t[1] for t in parts3])
+                    ws = np.concatenate([t[2] for t in parts3])
+                    wi, wl = _plp_argmax(idx, labs, ws)
+                    new = old.copy()
+                    new[wi] = wl
+                    changed = float((new != old).sum())
+                else:
+                    new, changed = old, 0.0
+            rows = {"key": [], "kind": [], "blob": [], "gathered": [], "changed": []}
+            for q, lidx, labs, ws in _gather_triples(part, new):
+                rows["key"].append(q)
+                rows["kind"].append(0)
+                rows["blob"].append(_plp_pack(lidx, labs, ws))
+                rows["gathered"].append(1)
+                rows["changed"].append(0.0)
+            rows["key"].append(part)
+            rows["kind"].append(1)
+            rows["blob"].append(new.tobytes())
+            rows["gathered"].append(1)
+            rows["changed"].append(changed)
+            return pd.DataFrame(rows)
+
+        schema = "key int, kind int, blob binary, gathered int, changed double"
+
+        def _gather_all_lab(labels):
+            cand = {q: [] for q in state_parts}
+            for part in state_parts:
+                for q, lidx, labs, ws in _gather_triples(part, labels[part]):
+                    cand[q].append((lidx, labs, ws))
+            out = {}
+            for q, lst in cand.items():
+                if lst:
+                    out[q] = (
+                        np.concatenate([t[0] for t in lst]),
+                        np.concatenate([t[1] for t in lst]),
+                        np.concatenate([t[2] for t in lst]),
+                    )
+                else:
+                    out[q] = (
+                        np.empty(0, np.int64),
+                        np.empty(0, np.int64),
+                        np.empty(0, np.float64),
+                    )
+            return out
+
+        def make_fused_local_plp(steps):
+            def fused_local_iter(batches):
+                rows = pd.concat(list(batches), ignore_index=True)
+                srows = rows[rows["kind"] == 1]
+                labels = {
+                    int(r["key"]): np.frombuffer(r["blob"], dtype=np.int64).copy()
+                    for _, r in srows.iterrows()
+                }
+                pending = bool(srows["gathered"].astype(int).max())
+                if pending:
+                    cand = {
+                        q: (
+                            np.empty(0, np.int64),
+                            np.empty(0, np.int64),
+                            np.empty(0, np.float64),
+                        )
+                        for q in state_parts
+                    }
+                    grouped: dict[int, list] = {q: [] for q in state_parts}
+                    for _, r in rows[rows["kind"] == 0].iterrows():
+                        grouped[int(r["key"])].append(_plp_unpack(r["blob"]))
+                    for q, lst in grouped.items():
+                        if lst:
+                            cand[q] = (
+                                np.concatenate([t[0] for t in lst]),
+                                np.concatenate([t[1] for t in lst]),
+                                np.concatenate([t[2] for t in lst]),
+                            )
+                else:  # primer: gather once, consuming no sweep
+                    cand = _gather_all_lab(labels)
+                chg = {p: float("inf") for p in state_parts}
+                for _ in range(steps):
+                    for p in state_parts:
+                        idx, labs, ws = cand[p]
+                        wi, wl = _plp_argmax(idx, labs, ws)
+                        new = labels[p].copy()
+                        new[wi] = wl
+                        chg[p] = float((new != labels[p]).sum())
+                        labels[p] = new
+                    cand = _gather_all_lab(labels)
+                out = {"key": [], "kind": [], "blob": [], "gathered": [], "changed": []}
+                for q in state_parts:
+                    idx, labs, ws = cand[q]
+                    out["key"].append(q)
+                    out["kind"].append(0)
+                    out["blob"].append(_plp_pack(idx, labs, ws))
+                    out["gathered"].append(1)
+                    out["changed"].append(0.0)
+                for p in state_parts:
+                    out["key"].append(p)
+                    out["kind"].append(1)
+                    out["blob"].append(labels[p].tobytes())
+                    out["gathered"].append(1)
+                    out["changed"].append(chg[p])
+                yield pd.DataFrame(out)
+
+            return fused_local_iter
+
+        while True:
+            t0 = time.time()
+            steps = chain_k
+            if max_iter is not None:
+                steps = min(steps, max_iter - it)
+            steps = max(steps, 1)
+            if fused_local:
+                plan = stream.repartition(1).mapInPandas(
+                    make_fused_local_plp(steps), schema
+                )
+            else:
+                plan = stream
+                nstages = steps + (0 if gathered else 1)
+                for _ in range(nstages):
+                    plan = plan.groupBy("key").applyInPandas(fused_stage, schema)
+            it += steps
+            gathered = True
+            stream = ckpt.step(plan, it, wall_ms=(time.time() - t0) * 1e3)
+            changed = stream.where(F.col("kind") == 1).agg(
+                F.sum("changed")
+            ).collect()[0][0]
+            ckpt.history[-1]["delta"] = changed
+            if changed <= theta or (max_iter is not None and it >= max_iter):
+                break
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+        state = stream.where(F.col("kind") == 1)
+
+        def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for _, r in pdf.iterrows():
+                (snodes,) = _load(bd, int(r["key"]), ("snodes",))
+                labels = np.frombuffer(r["blob"], dtype=np.int64)
+                frames.append(
+                    pd.DataFrame({"node": np.asarray(snodes), "label": labels})
+                )
+            if not frames:
+                return pd.DataFrame({"node": [], "label": []}).astype(
+                    {"node": "int64", "label": "int64"}
+                )
+            return pd.concat(frames)
+
+        return state.groupBy("key").applyInPandas(unpack, "node long, label long")
+
     def close(self) -> None:
         import shutil
 
+        prev = getattr(self, "_prev_batch", None)
+        if prev is not None:
+            try:
+                self.spark.conf.set(
+                    "spark.sql.parquet.columnarReaderBatchSize", str(prev)
+                )
+            except Exception:
+                pass
+            self._prev_batch = None
         shutil.rmtree(self.blob_dir, ignore_errors=True)
 
 

@@ -428,11 +428,25 @@ class Checkpointer:
     ``dir/iter=K/`` and append a JSON metrics row (iteration, rows,
     delta, wall_ms, partition lineage) to ``dir/metrics.jsonl`` —
     any iteration can resume from the last durable checkpoint.
+
+    ``keep`` bounds durable-state retention: after each durable write,
+    all but the newest ``keep`` state dirs are deleted (a long run
+    otherwise leaks one ~|state| parquet dir per interval).  Pass
+    ``keep=None`` to retain every checkpoint (the pre-retention
+    behavior).  Each pruned iteration is recorded in ``metrics.jsonl``
+    as ``{"pruned": K}`` so resume tooling never points at a deleted
+    dir.
     """
 
-    def __init__(self, directory: str | None = None, interval: int = 5):
+    def __init__(
+        self,
+        directory: str | None = None,
+        interval: int = 5,
+        keep: int | None = 2,
+    ):
         self.dir = directory
         self.interval = interval
+        self.keep = keep
         self.history: list[dict] = []
         if directory:
             os.makedirs(directory, exist_ok=True)
@@ -442,7 +456,10 @@ class Checkpointer:
         if not self.dir or not os.path.exists(self._metrics_path()):
             return None
         rows = [json.loads(line) for line in open(self._metrics_path())]
-        durable = [r for r in rows if r.get("durable")]
+        pruned = {r["pruned"] for r in rows if "pruned" in r}
+        durable = [
+            r for r in rows if r.get("durable") and r["iteration"] not in pruned
+        ]
         if not durable:
             return None
         last = durable[-1]
@@ -473,7 +490,8 @@ class Checkpointer:
             force_durable or (self.interval > 0 and iteration % self.interval == 0)
         )
         already = any(
-            r["iteration"] == iteration and r.get("durable") for r in self.history
+            r.get("iteration") == iteration and r.get("durable")
+            for r in self.history
         )
         if durable and already:
             # This iteration is already durably on disk — re-writing would
@@ -507,8 +525,8 @@ class Checkpointer:
         if self.dir:
             with open(self._metrics_path(), "a") as f:
                 f.write(json.dumps(rec) + "\n")
-        if durable:
-            self._prune(keep=2, current=iteration)
+        if durable and self.keep is not None:
+            self._prune(keep=self.keep, current=iteration)
         return out
 
     def _prune(self, keep: int, current: int) -> None:
@@ -519,8 +537,11 @@ class Checkpointer:
         20-superstep leg on the 800 M-edge store).  Runs AFTER the
         current iteration's metrics row is on disk, so resume always
         has a fully-committed checkpoint newer than anything pruned;
-        ``keep=2`` retains the previous checkpoint as the fallback for
-        a torn write of the newest."""
+        the default ``keep=2`` retains the previous checkpoint as the
+        fallback for a torn write of the newest.  Every pruned
+        iteration is logged to ``metrics.jsonl`` as a ``pruned``
+        record so consumers of older ``durable: true`` rows can tell
+        the state dir no longer exists."""
         if not self.dir:
             return
         import re
@@ -534,3 +555,7 @@ class Checkpointer:
         for it in iters[:-keep] if len(iters) > keep else []:
             if it < current:
                 _sh.rmtree(os.path.join(self.dir, f"iter={it}"), ignore_errors=True)
+                rec = {"pruned": it, "ts": time.time()}
+                self.history.append(rec)
+                with open(self._metrics_path(), "a") as f:
+                    f.write(json.dumps(rec) + "\n")

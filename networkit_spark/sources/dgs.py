@@ -12,6 +12,8 @@ event per line:
 - ``ce <from>-<to> weight=<w>`` — set edge weight
 - ``dn <name>``      — remove node
 - ``de <from>-<to>`` — remove edge
+- ``rn <name>``      — restore a removed node (NODE_RESTORATION,
+                       ``cpp/dynamics/DGSStreamParser.cpp:112-116``)
 
 The reader returns the EVENTS TABLE (``streaming/events.py``
 EVENT_SCHEMA: batch, kind, u, v, w) plus the name→id mapping.  Parsing
@@ -33,6 +35,7 @@ from networkit_spark.streaming.events import (
     EVENT_SCHEMA,
     NODE_ADDITION,
     NODE_REMOVAL,
+    NODE_RESTORATION,
 )
 
 
@@ -73,6 +76,8 @@ def read_dgs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
                 rows.append((batch, EDGE_WEIGHT_UPDATE, nid(a), nid(b), w))
             elif tag == "dn" and len(parts) == 2:
                 rows.append((batch, NODE_REMOVAL, nid(parts[1]), -1, 0.0))
+            elif tag == "rn" and len(parts) == 2:
+                rows.append((batch, NODE_RESTORATION, nid(parts[1]), -1, 0.0))
             elif tag == "de" and len(parts) == 2:
                 a, b = parts[1].split("-")
                 rows.append((batch, EDGE_REMOVAL, nid(a), nid(b), 0.0))
@@ -89,6 +94,7 @@ def read_dgs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 # first-appearance id mapping), removals after the mutations they gate.
 _KIND_PRIORITY = {
     NODE_ADDITION: 0,
+    NODE_RESTORATION: 0,
     EDGE_ADDITION: 1,
     EDGE_WEIGHT_UPDATE: 2,
     EDGE_REMOVAL: 3,
@@ -136,6 +142,8 @@ def write_dgs(events: DataFrame, path: str, name: str = "g") -> None:
             lines.append(f"an n{r['u']}")
         elif k == NODE_REMOVAL:
             lines.append(f"dn n{r['u']}")
+        elif k == NODE_RESTORATION:
+            lines.append(f"rn n{r['u']}")
         elif k == EDGE_ADDITION:
             lines.append(f"ae e{r['u']}_{r['v']} n{r['u']} n{r['v']}")
         elif k == EDGE_REMOVAL:

@@ -91,9 +91,13 @@ def read_konect(
     spark: SparkSession, path: str, multi_edge: str = "sum", directed: bool = False
 ) -> EdgeGraph:
     """KONECT format: ``%`` comments, optional weight column, multi-edge
-    policy sum/min/max/first (``cpp/io/KONECTGraphReader.cpp``)."""
+    policy sum/min/max/first (``cpp/io/KONECTGraphReader.cpp``).  KONECT
+    node ids are 1-based — the reference maps every id ``in - 1``
+    (``KONECTGraphReader.cpp:194``), mirrored here via ``first_node=1``
+    (caught by the foodweb-baydry.konect interop fixture)."""
     g = read_edge_list(
-        spark, path, separator=r"\s+", comment_prefix="%", directed=directed
+        spark, path, separator=r"\s+", comment_prefix="%", directed=directed,
+        first_node=1,
     )
     from networkit_spark.graph import canonicalize
 

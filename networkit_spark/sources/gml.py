@@ -39,9 +39,21 @@ def read_gml(spark, path: str) -> EdgeGraph:
             )
     e = spark.createDataFrame(edges or [], "src long, dst long, weight double")
     g = EdgeGraph.from_edges(e, directed=directed)
-    # isolated nodes exist in GML but not in an edge-derived vertex set;
-    # record the declared count for callers that need it
+    # GML declares nodes explicitly, so isolated nodes are part of the
+    # graph (the reference's GMLGraphReader adds every ``node [ id k ]``
+    # block) — seed the vertex view with the declared set so
+    # vertices()/num_nodes() include them (caught by the jazz2 interop
+    # fixture, whose nodes 3 and 4 have no edges)
     g.declared_nodes = len(nodes)
+    if nodes:
+        declared = spark.createDataFrame(
+            [(int(i),) for i in sorted(set(nodes))], "id long"
+        )
+        from networkit_spark.graph import vertices_of
+
+        g._cache["vertices"] = (
+            declared.unionByName(vertices_of(g.edges)).distinct()
+        )
     return g
 
 

@@ -31,7 +31,6 @@ import shutil
 import statistics
 import subprocess
 import sys
-import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -101,6 +100,16 @@ def main():
         sys.executable, "-c", SPIN_SRC
     ]
 
+    # ephemeral checkpoint-state dirs are created next to the blob store
+    # (blobstep.py: tempfile.mkdtemp(prefix="nk_prstate_",
+    # dir=dirname(blob_dir))); sweep ONLY dirs that appear there after a
+    # ballast starts, never a tempdir-wide glob that could hit an
+    # unrelated concurrent run's live state
+    state_root = os.path.dirname(os.path.abspath(blob_dir)) or "."
+
+    def _state_dirs():
+        return set(glob.glob(os.path.join(state_root, "nk_prstate_*")))
+
     legs = [int(x) for x in args.legs.split(",")]
     samples: dict[int, list] = {c: [] for c in legs}
     env = dict(os.environ)
@@ -111,6 +120,7 @@ def main():
         print(f"leg local-cluster[{c}] + ballast local-cluster[{nball}] "
               f"+ {nspin} idle spinners ...", flush=True)
         ballast = None
+        pre_state = _state_dirs()
         if nball:
             # ballast = the identical kernel, enough supersteps to outlast
             # the timed leg; killed as soon as the leg finishes
@@ -148,8 +158,10 @@ def main():
                 except subprocess.TimeoutExpired:
                     ballast.kill()
                     ballast.wait()
-            # sweep checkpoint-state dirs a killed ballast may have leaked
-            for d in glob.glob(os.path.join(tempfile.gettempdir(), "nk_prstate_*")):
+            # sweep only the checkpoint-state dirs THIS leg created (the
+            # ballast/leg may have leaked them on kill) — dirs that
+            # predate the leg belong to other runs and stay untouched
+            for d in _state_dirs() - pre_state:
                 shutil.rmtree(d, ignore_errors=True)
         r["cpus"] = c
         r["ballast"] = nball
@@ -168,6 +180,12 @@ def main():
         f"eff_{lo}_to_{hi}": round((med[hi] / med[lo]) / (hi / lo), 3),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
+    # machine-checkable pairwise efficiencies for EVERY adjacent leg
+    # pair (a 3-level matrix otherwise records only the end-to-end
+    # number and the quoted intermediate steps aren't reproducible)
+    sizes = sorted(med)
+    for a, b in zip(sizes, sizes[1:]):
+        summary[f"eff_{a}_to_{b}"] = round((med[b] / med[a]) / (b / a), 3)
     print(json.dumps(summary), flush=True)
     with open(os.path.join(REPO, "scaling_packed.json"), "w") as f:
         json.dump(summary, f, indent=1)

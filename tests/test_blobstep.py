@@ -147,3 +147,49 @@ def test_fused_local_resume_interop(spark, tmp_path):
     )
     assert np.allclose(got, want, atol=1e-13)
     eng.close()
+
+
+def test_plp_blob_matches_sql(spark):
+    """run_plp on the blob store == the sql synchronous-sweep PLP, at
+    fixed sweep counts (primer stage consumes no sweep) and at the
+    theta convergence stop, on both the distributed and fused-local
+    paths — the three-kernel shared-store contract the bench relies on."""
+    from networkit_spark.operators.plp import plp
+
+    g = EdgeGraph.from_edges(edges_df(spark, F1_EDGES))
+    eng = PageRankBlobEngine(g, num_parts=4)
+    for mi in (1, 2, 5):
+        want = sorted(map(tuple, plp(g, max_iter=mi, impl="sql").collect()))
+        a = sorted(map(tuple, eng.run_plp(max_iter=mi, fused_local=False).collect()))
+        b = sorted(map(tuple, eng.run_plp(max_iter=mi, fused_local=True).collect()))
+        assert a == want, f"distributed PLP != sql at {mi} sweeps"
+        assert b == want, f"fused-local PLP != sql at {mi} sweeps"
+    # convergence-rule parity under a shared cap (synchronous PLP can
+    # 2-cycle on symmetric graphs, so an UNbounded run must not be the
+    # test's stop condition; both impls count sweeps identically)
+    want = sorted(map(tuple, plp(g, impl="sql", max_iter=24).collect()))
+    got = sorted(map(tuple, eng.run_plp(max_iter=24, fused_local=True).collect()))
+    assert got == want
+    # same store also serves PageRank and components (the bench pattern)
+    assert abs(_scores(eng.run(tol=1e-10), 8).sum() - 1.0) < 1e-9
+    assert len(eng.run_components().collect()) == 8
+    eng.close()
+
+
+def test_plp_blob_weighted(spark):
+    """Weighted label-weight sums (w blob present) and the smallest-id
+    tie-break agree with the sql impl."""
+    from networkit_spark.operators.plp import plp
+
+    edges = [
+        (0, 1, 3.0), (1, 2, 1.0), (2, 3, 3.0), (3, 4, 1.0),
+        (4, 5, 2.0), (5, 0, 1.0), (2, 6, 2.0), (6, 7, 2.0),
+    ]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    eng = PageRankBlobEngine(g, num_parts=3)
+    for mi in (1, 3):
+        want = sorted(map(tuple, plp(g, max_iter=mi, impl="sql").collect()))
+        a = sorted(map(tuple, eng.run_plp(max_iter=mi, fused_local=False).collect()))
+        b = sorted(map(tuple, eng.run_plp(max_iter=mi, fused_local=True).collect()))
+        assert a == want and b == want
+    eng.close()

@@ -142,18 +142,88 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     )
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_png_decode(spark):
+    """The media pipeline decodes REAL PNG bytes (stdlib zlib inflate +
+    unfilter) and the features equal the closed-form pattern exactly."""
     media = multimodal.synthetic_media(spark, n=8)
     feats = multimodal.image_features(media).collect()
     assert len(feats) == 8
-    assert all(0 <= r["brightness"] <= 255 for r in feats)
+    by_id = {r["media_id"]: r for r in feats}
+    for i in range(8):
+        img = multimodal._synth_image(i).astype(np.float64)
+        r = by_id[i]
+        assert (r["height"], r["width"]) == img.shape[:2]
+        assert r["mean_r"] == round(float(img[:, :, 0].mean()), 6)
+        assert r["mean_g"] == round(float(img[:, :, 1].mean()), 6)
+        assert r["mean_b"] == round(float(img[:, :, 2].mean()), 6)
+        assert r["brightness"] == round(float(img.mean()), 6)
     # determinism
     again = multimodal.image_features(multimodal.synthetic_media(spark, n=8)).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
     frames = multimodal.frame_sample(media).collect()
-    assert len(frames) == 8 * 4  # 256-byte blobs / 64-byte windows
+    assert len(frames) == sum(
+        (len(bytes(r["data"])) + 63) // 64 for r in media.collect()
+    )
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx", fake=False)
+        multimodal.decode_image(b"not-a-png-blob", fake=False)
+
+
+def _forward_filter(img: np.ndarray, filters: list[int]) -> bytes:
+    """Independent PNG scanline FORWARD filtering (encode side of RFC
+    2083 §6) — exercises every decoder unfilter branch."""
+    h, w, _ = img.shape
+    stride = w * 3
+    rows = img.reshape(h, stride).astype(np.int32)
+    out = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = rows[y]
+        line = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (cur[i] - pred) & 0xFF
+        out += bytes([ft]) + line.astype(np.uint8).tobytes()
+        prev = cur
+    return out
+
+
+def test_png_codec_roundtrip_all_filters():
+    import struct
+    import zlib
+
+    img = multimodal._synth_image(5)
+    # encoder roundtrip (filter 0)
+    assert np.array_equal(multimodal.decode_png(multimodal.encode_png(img)), img)
+    # grayscale broadcast
+    gray = img[:, :, 0]
+    dec = multimodal.decode_png(multimodal.encode_png(gray))
+    assert np.array_equal(dec[:, :, 0], gray) and np.array_equal(dec[:, :, 1], gray)
+    # hand-built PNG cycling filters 0-4: decoder must invert every one
+    h, w, _ = img.shape
+    raw = _forward_filter(img, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(multimodal.decode_png(png), img)
 
 
 def test_ivf_topk_recall(spark, emb):

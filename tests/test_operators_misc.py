@@ -931,3 +931,49 @@ def test_linkpred_fused_blocks_equals_distributed(spark):
     # only_missing=False keeps existing edges too
     full = link_prediction_scores(g, only_missing=False, fused_local=True)
     assert full.count() > len(a)
+
+
+def test_top_closeness_pruned_matches_full(spark):
+    """BFScut pruned top-k ≡ full-score top-k (star, path, disconnected
+    components, and the karate fixture), and the pruning measurably cuts
+    BFS work on a hub-skewed RMAT graph."""
+    import os
+
+    from networkit_spark.operators.closeness import top_closeness, top_closeness_pruned
+    from networkit_spark.sources.metis import read_metis
+
+    def both(g, k, batch_size=8):
+        want = [(r["node"], round(r["score"], 9)) for r in top_closeness(g, k=k).collect()]
+        got = [
+            (r["node"], round(r["score"], 9))
+            for r in top_closeness_pruned(g, k=k, batch_size=batch_size).collect()
+        ]
+        assert got == want
+
+    star = EdgeGraph.from_edges(edges_df(spark, [(0, i) for i in range(1, 6)]))
+    both(star, 3)
+    path = EdgeGraph.from_edges(edges_df(spark, [(i, i + 1) for i in range(7)]))
+    both(path, 4)
+    # disconnected: the component-size reachability bound must hold
+    two = EdgeGraph.from_edges(
+        edges_df(spark, [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)])
+    )
+    both(two, 5)
+    karate = read_metis(
+        spark,
+        os.path.join(os.path.dirname(__file__), "fixtures", "reference", "karate.graph"),
+    )
+    both(karate, 5, batch_size=12)
+
+
+def test_top_closeness_pruned_work_reduction(spark):
+    from networkit_spark.operators.closeness import top_closeness_pruned
+    from networkit_spark.operators.generators import rmat
+
+    g = rmat(spark, scale=8, edge_factor=4, seed=3)
+    stats: dict = {}
+    top = top_closeness_pruned(g, k=5, batch_size=64, stats=stats).collect()
+    assert len(top) == 5
+    # degree-ordered batches + the reachability bound should skip a
+    # large share of the exhaustive visit count
+    assert stats["expanded"] < 0.8 * stats["full"], stats

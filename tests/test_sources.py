@@ -50,7 +50,8 @@ def test_snap_and_konect(spark, tmp_path):
     k.write_text("% konect\n1 2 3.0\n1 2 4.0\n2 3 1.0\n")
     gk = read_konect(spark, str(k), multi_edge="sum")
     rows = {(r["src"], r["dst"]): r["weight"] for r in gk.edges.collect()}
-    assert rows[(1, 2)] == 7.0 and rows[(2, 3)] == 1.0
+    # KONECT ids are 1-based (reference maps in-1): 1→0, 2→1, 3→2
+    assert rows[(0, 1)] == 7.0 and rows[(1, 2)] == 1.0
 
 
 def test_metis_reader(spark, tmp_path):
