@@ -290,15 +290,37 @@ class PageRankBlobEngine:
             self.blob_dir = bd = tempfile.mkdtemp(prefix="nk_prblob_", dir=root)
 
         sym = graph.sym()
-        vdeg = graph.degrees().select(
-            "node",
-            F.when(F.col("wdeg") > 0, 1.0 / F.col("wdeg")).otherwise(F.lit(0.0)).alias("invw"),
+        # ONE aggregation over the gather table yields everything the
+        # build needs — out-degree (hub detection, m_sym), weighted
+        # degree (invw; the ``degrees()`` self-loop-double rule for
+        # undirected graphs), and for UNDIRECTED graphs the vertex set
+        # itself (sym lists every node as a src, self-loops included
+        # once) — where the previous build made three passes (vertices
+        # distinct, degrees agg, odeg agg) over the same edges.
+        loop_extra = (
+            F.lit(0.0)
+            if graph.directed
+            else F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(F.lit(0.0))
         )
-        verts = (
-            graph.vertices()
-            .join(vdeg, F.col("id") == F.col("node"), "left")
-            .select(F.col("id").alias("node"), F.coalesce("invw", F.lit(0.0)).alias("invw"))
+        deg = (
+            sym.groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("odeg"),
+                (F.sum("weight") + F.sum(loop_extra)).alias("wdeg"),
+            )
+            .persist()
         )
+        invw_col = F.when(F.col("wdeg") > 0, 1.0 / F.col("wdeg")).otherwise(F.lit(0.0))
+        if graph.directed:
+            # receive-only (dangling) nodes never appear as a sym src
+            verts = (
+                graph.vertices()
+                .join(deg.select(F.col("src").alias("node"), invw_col.alias("invw")),
+                      F.col("id") == F.col("node"), "left")
+                .select(F.col("id").alias("node"), F.coalesce("invw", F.lit(0.0)).alias("invw"))
+            )
+        else:
+            verts = deg.select(F.col("src").alias("node"), invw_col.alias("invw"))
         self.n = verts.count()
 
         def write_static(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -321,7 +343,7 @@ class PageRankBlobEngine:
         # hub salting: sources over hub_cap get their adjacency sliced
         # round-robin across partitions (src+1+j) % P; everyone else
         # keeps the zero-routing home partition src % P
-        odeg = sym.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("odeg")).persist()
+        odeg = deg.select("src", "odeg")
         stats = odeg.agg(F.sum("odeg").alias("m"), F.max("odeg").alias("dmax")).collect()[0]
         m_sym, dmax = int(stats["m"] or 0), int(stats["dmax"] or 0)
         if hub_cap is None:
@@ -377,7 +399,7 @@ class PageRankBlobEngine:
         edges_p.groupBy("part").applyInPandas(
             lambda pdf: _write_csr(bd, pdf, P), "part int, rows long"
         ).count()
-        odeg.unpersist()
+        deg.unpersist()
         import json
 
         self._m_sym = m_sym
