@@ -179,6 +179,24 @@ def plp(
     and warm starts keep the distributed loop."""
     spark = graph.spark
     ckpt = checkpointer or Checkpointer()
+    if impl == "blob":
+        # packed-store kernel (blobstep.run_plp) — same synchronous
+        # semantics, sharable with PageRank/components via an engine;
+        # this convenience path builds + discards its own store
+        from networkit_spark.linkgraph.blobstep import PageRankBlobEngine
+
+        if base_clustering is not None:
+            raise ValueError("impl='blob' does not take a base clustering")
+        base = graph if not graph.directed else graph.to_undirected()
+        # engine keeps its load-relative hub policy (plp's hub_cap
+        # parameter sizes prepare()'s CSR slices, a different knob);
+        # a store that does salt raises toward impl='csr'
+        eng = PageRankBlobEngine(base, num_parts=num_parts)
+        out = eng.run_plp(theta=theta, max_iter=max_iter, checkpointer=checkpointer)
+        out = out.persist()
+        out.count()
+        eng.close()
+        return out
     n = graph.num_nodes()
     if theta is None:
         theta = n / 1e5

@@ -119,3 +119,16 @@ def test_plm_deterministic_across_partitions(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert np.array_equal(a, b)
+
+
+def test_plp_blob_impl_dispatch(spark):
+    """plp(impl='blob') routes through the packed-store kernel and
+    equals the sql impl at fixed sweeps."""
+    from networkit_spark.operators.plp import plp
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    g = EdgeGraph.from_edges(edges_df(spark, edges))
+    for mi in (1, 3):
+        want = sorted(map(tuple, plp(g, max_iter=mi, impl="sql").collect()))
+        got = sorted(map(tuple, plp(g, max_iter=mi, impl="blob").collect()))
+        assert got == want
