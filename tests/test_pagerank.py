@@ -82,7 +82,9 @@ def test_checkpoint_resume(spark, tmp_path):
     ck2 = Checkpointer(d, interval=2)
     got = _scores(pagerank(g, tol=1e-6, impl="sql", checkpointer=ck2), 8)
     want = pagerank_oracle(8, F1_EDGES, tol=1e-6)
-    # resumed run appends no fresh iteration-0 row (it continued from 4+)
-    assert sum(1 for r in ck2.history if r["iteration"] == 0) == 1
-    assert max(r["iteration"] for r in ck2.history) >= 5
+    # resumed run appends no fresh iteration-0 row (it continued from 4+);
+    # history may also hold retention records ({"pruned": K}) with no
+    # iteration key
+    assert sum(1 for r in ck2.history if r.get("iteration") == 0) == 1
+    assert max(r["iteration"] for r in ck2.history if "iteration" in r) >= 5
     assert np.allclose(got, want, atol=1e-6)
