@@ -224,6 +224,7 @@ class PageRankBlobEngine:
             for p in parts
         }
         self.state_parts = parts
+        self._own_state_dirs: list = []
         import json
 
         with open(os.path.join(blob_dir, "meta.json")) as f:
@@ -280,6 +281,7 @@ class PageRankBlobEngine:
         if num_parts is None:
             num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.P = P = num_parts
+        self._own_state_dirs = []
         import tempfile
 
         if blob_dir is not None:
@@ -464,6 +466,7 @@ class PageRankBlobEngine:
                 tempfile.mkdtemp(prefix="nk_prstate_", dir=os.path.dirname(bd)),
                 interval=1,
             )
+            self._own_state_dirs.append(ckpt.dir)
         else:
             ckpt = checkpointer
             ckpt.interval = 1
@@ -738,6 +741,7 @@ class PageRankBlobEngine:
                 tempfile.mkdtemp(prefix="nk_prstate_", dir=os.path.dirname(bd)),
                 interval=1,
             )
+            self._own_state_dirs.append(ckpt.dir)
         else:
             ckpt = checkpointer
             ckpt.interval = 1
@@ -945,6 +949,7 @@ class PageRankBlobEngine:
                 tempfile.mkdtemp(prefix="nk_ccstate_", dir=os.path.dirname(bd)),
                 interval=1,
             )
+            self._own_state_dirs.append(ckpt.dir)
         else:
             ckpt = checkpointer
             ckpt.interval = 1
@@ -1190,6 +1195,7 @@ class PageRankBlobEngine:
                 tempfile.mkdtemp(prefix="nk_prstate_", dir=os.path.dirname(bd)),
                 interval=1,
             )
+            self._own_state_dirs.append(ckpt.dir)
         else:
             ckpt = checkpointer
             ckpt.interval = 1
@@ -1433,6 +1439,13 @@ class PageRankBlobEngine:
     def close(self) -> None:
         import shutil
 
+        # ephemeral per-run checkpoint dirs the engine created for
+        # itself (no caller Checkpointer): same lifetime as the store —
+        # consumers materialize results before close(), as
+        # ``pagerank_blob`` does
+        for d in getattr(self, "_own_state_dirs", []):
+            shutil.rmtree(d, ignore_errors=True)
+        self._own_state_dirs = []
         prev = getattr(self, "_prev_batch", None)
         if prev is not None:
             try:
