@@ -200,6 +200,13 @@ def plp(
     n = graph.num_nodes()
     if theta is None:
         theta = n / 1e5
+    if max_iter is None:
+        # SYNCHRONOUS sweeps can 2-cycle (the TPCH link graph itself
+        # oscillates — see BENCH.md's PLP frontier note), so an
+        # uncapped default must not loop forever; the reference's
+        # asynchronous sweeps break such cycles by ordering accident.
+        # Mirrors blobstep.run_plp's cap.
+        max_iter = 256
     sym = graph.sym() if not graph.directed else graph.to_undirected().sym()
 
     if impl == "csr" and checkpointer is None and base_clustering is None:
