@@ -89,6 +89,7 @@ def top_closeness_pruned(
     batch_size: int = 256,
     max_rounds: int = 64,
     stats: dict | None = None,
+    harmonic: bool = False,
 ) -> DataFrame:
     """Exact top-k closeness via the reference's pruned-bound BFScut
     (``cpp/centrality/TopCloseness.cpp``, BFScut/BFSbound family),
@@ -114,7 +115,14 @@ def top_closeness_pruned(
     per source).  ``stats`` (optional dict) receives ``expanded`` (sum
     of frontier sizes actually processed) vs ``full`` (Σ component
     sizes = the exhaustive algorithm's visit count) for the measured
-    work reduction."""
+    work reduction.
+
+    ``harmonic=True`` ranks by harmonic closeness instead
+    (``TopHarmonicCloseness.cpp``, same bound structure): with H the
+    partial Σ 1/d over reached nodes, the remaining ``nc − r`` nodes
+    contribute at most ``(nc − r)/(l+1)``, so
+    ``harmonic(s) ≤ H + (nc−r)/(l+1)`` — result ≡
+    ``closeness(harmonic=True)`` top-k."""
     from networkit_spark.operators.components import connected_components
 
     spark = graph.spark
@@ -155,6 +163,7 @@ def top_closeness_pruned(
         ).localCheckpoint(eager=True)
         frontier = dist
         S = {s: 0 for s in active}
+        H = {s: 0.0 for s in active}
         r = {s: 1 for s in active}
         level = 0
         while active and level < max_rounds:
@@ -174,22 +183,34 @@ def top_closeness_pruned(
             if stats is not None:
                 stats["expanded"] += sum(grown.values())
             kth = kth_score()
+
+            def _final(s):
+                if harmonic:
+                    return H[s]
+                return (n - 1) / S[s] if S[s] > 0 else 0.0
+
             done, pruned = [], []
             for s in list(active):
                 f = grown.get(s, 0)
                 S[s] += f * level
+                H[s] += f / level
                 r[s] += f
                 if f == 0:  # BFS exhausted: exact
-                    score = (n - 1) / S[s] if S[s] > 0 else 0.0
-                    best.append((score, s))
+                    best.append((_final(s), s))
                     done.append(s)
                     continue
                 rem = active[s] - r[s]
-                bound = (n - 1) / (S[s] + rem * (level + 1)) if (S[s] + rem) > 0 else 0.0
+                if harmonic:
+                    bound = H[s] + rem / (level + 1)
+                else:
+                    bound = (
+                        (n - 1) / (S[s] + rem * (level + 1))
+                        if (S[s] + rem) > 0
+                        else 0.0
+                    )
                 if rem == 0:
                     # component fully reached mid-frontier bookkeeping
-                    score = (n - 1) / S[s] if S[s] > 0 else 0.0
-                    best.append((score, s))
+                    best.append((_final(s), s))
                     done.append(s)
                 elif bound < kth:
                     pruned.append(s)
@@ -208,8 +229,7 @@ def top_closeness_pruned(
             frontier = cand
         # sources still active at max_rounds: finalize with what they have
         for s in list(active):
-            score = (n - 1) / S[s] if S[s] > 0 else 0.0
-            best.append((score, s))
+            best.append((_final(s), s))
     top = sorted(best, key=lambda t: (-t[0], t[1]))[:k]
     sym.unpersist()
     return spark.createDataFrame(

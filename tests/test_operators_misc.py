@@ -977,3 +977,36 @@ def test_top_closeness_pruned_work_reduction(spark):
     # degree-ordered batches + the reachability bound should skip a
     # large share of the exhaustive visit count
     assert stats["expanded"] < 0.8 * stats["full"], stats
+
+
+def test_top_harmonic_pruned_matches_full(spark):
+    import os
+
+    from networkit_spark.operators.closeness import closeness, top_closeness_pruned
+    from networkit_spark.sources.metis import read_metis
+
+    def both(g, k, batch_size=8):
+        want = [
+            (r["node"], round(r["score"], 6))
+            for r in closeness(g, harmonic=True)
+            .orderBy(F.desc("score"), F.asc("node")).limit(k).collect()
+        ]
+        got = [
+            (r["node"], round(r["score"], 6))
+            for r in top_closeness_pruned(
+                g, k=k, batch_size=batch_size, harmonic=True
+            ).collect()
+        ]
+        assert got == want
+
+    star = EdgeGraph.from_edges(edges_df(spark, [(0, i) for i in range(1, 6)]))
+    both(star, 3)
+    two = EdgeGraph.from_edges(
+        edges_df(spark, [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)])
+    )
+    both(two, 4)
+    karate = read_metis(
+        spark,
+        os.path.join(os.path.dirname(__file__), "fixtures", "reference", "karate.graph"),
+    )
+    both(karate, 5, batch_size=12)
