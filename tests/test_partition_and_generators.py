@@ -495,3 +495,28 @@ def test_dynamic_hyperbolic_stream(spark):
         move_distance=0.2, steps=3, seed=21,
     )
     assert sorted(map(tuple, ev.collect())) == sorted(map(tuple, ev2.collect()))
+
+
+def test_ba_duckdb_replay_second_params(spark):
+    """The driver gate replays barabasi_albert(2000,3,7) in DuckDB; this
+    cross-validates the replay generator (`__spark_entry__._ba_degrees_sql`)
+    at a DIFFERENT (n, k, seed), so the oracle is general, not a
+    one-point golden."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from networkit_spark.operators.generators import barabasi_albert
+
+    g = barabasi_albert(spark, n=500, k=2, seed=11)
+    want = {
+        (r["deg"], r["n_nodes"])
+        for r in g.degrees()
+        .groupBy("deg")
+        .count()
+        .withColumnRenamed("count", "n_nodes")
+        .collect()
+    }
+    rows = duckdb.connect().execute(
+        entrymod._ba_degrees_sql(n=500, k=2, seed=11)
+    ).fetchall()
+    assert {(d, c) for d, c in rows} == want
